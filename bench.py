@@ -1,0 +1,40 @@
+"""Flagship benchmark: stable key-value sort throughput on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline: the reference's best full GPU LSD sort — 0.400 Gelem/s (keys-only,
+2^30 uint32, block=512, r=4, RTX 3060 Ti; BASELINE.md). We benchmark the
+*harder* key-value stable sort and still normalize against that number.
+"""
+from __future__ import annotations
+
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from lsdradixsort_tpu.core.timing import time_fn
+from lsdradixsort_tpu.ops.sort import sort_kv
+
+REFERENCE_GELEMS_PER_S = 0.400  # BASELINE.md best full-sort config
+
+
+def main() -> None:
+    n = 1 << 27  # 134M rows (1 GB of kv data)
+    keys = jax.random.bits(jax.random.PRNGKey(0), (n,), dtype=jnp.uint32)
+    values = jnp.arange(n, dtype=jnp.uint32)
+    fn = jax.jit(sort_kv)
+    t = time_fn(fn, keys, values, iters=5, warmup=2)
+    gelems = t.gelems_per_s(n)
+    print(json.dumps({
+        "metric": "kv_sort_throughput",
+        "value": round(gelems * 1e3, 2),
+        "unit": "Melem/s",
+        "vs_baseline": round(gelems / REFERENCE_GELEMS_PER_S, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

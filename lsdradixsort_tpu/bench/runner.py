@@ -1,0 +1,216 @@
+"""Benchmark suite runner — the reference's L4/L5 layers as a CLI.
+
+The reference fuses testing and benchmarking: each Test* function times the
+CPU golden, times the GPU kernels, verifies element-by-element, and prints a
+per-config report; main() sweeps configs behind compile-time #defines
+(LSDRadixSort.cu:912-1185). Here the same discipline is a CLI:
+
+    python -m lsdradixsort_tpu.bench sort --n 27 --verify
+    python -m lsdradixsort_tpu.bench histogram --n 27 --sweep
+    python -m lsdradixsort_tpu.bench all --out report
+
+Every record carries achieved GB/s and the fraction of the chip's HBM
+roofline (the reference's implicit metric; north star asks for >80%).
+Reports are structured JSON plus the same human-readable lines the
+Benchmark*.md files capture.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsdradixsort_tpu.core import datagen, roofline
+from lsdradixsort_tpu.core.timing import time_fn, time_host
+from lsdradixsort_tpu.utils import check_arrays
+
+
+@dataclasses.dataclass
+class Record:
+    suite: str
+    config: dict
+    device_ms: float
+    melems_per_s: float
+    gbytes_per_s: float
+    roofline_frac: float
+    host_ms: float | None = None
+    speedup_vs_host: float | None = None
+    verified: bool | None = None
+
+    def line(self) -> str:
+        s = (f"[{self.suite}] {self.config} : {self.device_ms:.3f} ms, "
+             f"{self.melems_per_s:.1f} Melem/s, {self.gbytes_per_s:.1f} GB/s "
+             f"({100 * self.roofline_frac:.1f}% of roofline)")
+        if self.speedup_vs_host is not None:
+            s += f", x{self.speedup_vs_host:.2f} vs host"
+        if self.verified is not None:
+            s += ", verified" if self.verified else ", VERIFY FAILED"
+        return s
+
+
+def _bench(suite, config, fn, args, n, bytes_moved, host_fn=None,
+           host_args=None, verify=None, iters=5) -> Record:
+    rl = roofline.detect()
+    t = time_fn(fn, *args, iters=iters)
+    rec = Record(
+        suite=suite, config=config, device_ms=t.ms,
+        melems_per_s=n / t.seconds / 1e6,
+        gbytes_per_s=bytes_moved / t.seconds / 1e9,
+        roofline_frac=rl.fraction(bytes_moved, t.seconds),
+    )
+    if host_fn is not None:
+        th = time_host(host_fn, *host_args)
+        rec.host_ms = th.ms
+        rec.speedup_vs_host = th.seconds / t.seconds
+    if verify is not None:
+        try:
+            verify()
+            rec.verified = True
+        except AssertionError:
+            rec.verified = False
+    return rec
+
+
+# ---------------------------------------------------------------------------
+# Suites (mirror the reference's Benchmark* sweeps, cu:1064-1150)
+# ---------------------------------------------------------------------------
+
+def suite_sort(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
+    from lsdradixsort_tpu.ops.sort import sort, sort_kv
+    n = 1 << n_log2
+    keys = datagen.random_keys(n)
+    out = []
+    fn = jax.jit(lambda k: sort(k))
+    ver = None
+    if verify:
+        keys_np = np.asarray(keys)
+        ver = lambda: check_arrays(fn(keys), np.sort(keys_np))
+    out.append(_bench("sort/keys", {"n": n}, fn, (keys,), n,
+                      bytes_moved=8 * n, verify=ver))
+    vals = jnp.arange(n, dtype=jnp.uint32)
+    fkv = jax.jit(lambda k, v: sort_kv(k, v))
+    out.append(_bench("sort/kv", {"n": n}, fkv, (keys, vals), n,
+                      bytes_moved=16 * n))
+    return out
+
+
+def suite_histogram(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
+    from lsdradixsort_tpu.kernels.histogram import block_digit_histograms
+    from lsdradixsort_tpu import golden
+    n = 1 << n_log2
+    keys = datagen.random_keys(n)
+    rs = (1, 2, 4, 8) if sweep else (4, 8)
+    blocks = (1 << 13, 1 << 15, 1 << 17) if sweep else (1 << 15,)
+    out = []
+    for r in rs:
+        for block in blocks:
+            if n % block:
+                continue
+            fn = jax.jit(lambda k, r=r, b=block: block_digit_histograms(
+                k, r, 0, b))
+            ver = None
+            if verify:
+                keys_np = np.asarray(keys)
+                ver = lambda r=r, b=block, f=fn: check_arrays(
+                    f(keys), golden.digit_histograms(keys_np, r, 0, b))
+            out.append(_bench(
+                "histogram", {"n": n, "r": r, "block": block}, fn, (keys,),
+                n, bytes_moved=4 * n, verify=ver))
+    return out
+
+
+def suite_scan(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
+    from lsdradixsort_tpu.kernels.scan import exclusive_scan
+    from lsdradixsort_tpu import golden
+    n = 1 << n_log2
+    a = datagen.random_keys(n)
+    out = []
+    rows_options = (128, 256, 512, 1024) if sweep else (512,)
+    for rows in rows_options:
+        fn = jax.jit(lambda x, rows=rows: exclusive_scan(x, block_rows=rows))
+        ver = None
+        if verify:
+            a_np = np.asarray(a)
+            ver = lambda f=fn: check_arrays(f(a), golden.prefix_sum(a_np))
+        out.append(_bench("scan", {"n": n, "block_rows": rows}, fn, (a,), n,
+                          bytes_moved=8 * n, verify=ver))
+    return out
+
+
+def suite_query(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
+    """filter + aggregate + join — north star configs 3-4."""
+    from lsdradixsort_tpu.ops import filter_kv, group_by_sum, hash_join
+    n = 1 << n_log2
+    keys = datagen.random_keys_bounded(n, 0, 1 << 20, seed=1)
+    vals = jnp.arange(n, dtype=jnp.uint32)
+    out = []
+    ffn = jax.jit(lambda k, v: filter_kv(k, v, jnp.uint32(1 << 18),
+                                         jnp.uint32(1 << 19)))
+    out.append(_bench("query/filter", {"n": n}, ffn, (keys, vals), n,
+                      bytes_moved=16 * n))
+    gfn = jax.jit(group_by_sum)
+    out.append(_bench("query/group_by_sum", {"n": n}, gfn, (keys, vals), n,
+                      bytes_moved=16 * n))
+    nb = max(n // 10, 1)
+    bkeys = jax.random.permutation(
+        jax.random.PRNGKey(2), jnp.arange(nb, dtype=jnp.uint32))
+    bvals = bkeys * jnp.uint32(3)
+    pkeys = datagen.random_keys_bounded(n, 0, 2 * nb, seed=3)
+    jfn = jax.jit(hash_join)
+    out.append(_bench("query/hash_join", {"build": nb, "probe": n}, jfn,
+                      (bkeys, bvals, pkeys, vals), n,
+                      bytes_moved=8 * (n + nb) + 24 * n))
+    return out
+
+
+SUITES: dict[str, Callable] = {
+    "sort": suite_sort,
+    "histogram": suite_histogram,
+    "scan": suite_scan,
+    "query": suite_query,
+}
+
+
+def run_suite(name: str, n_log2: int = 24, verify: bool = False,
+              sweep: bool = False) -> list[Record]:
+    names = list(SUITES) if name == "all" else [name]
+    records = []
+    for s in names:
+        for rec in SUITES[s](n_log2, verify, sweep):
+            print(rec.line(), flush=True)
+            records.append(rec)
+    return records
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("suite", choices=[*SUITES, "all"])
+    p.add_argument("--n", type=int, default=24, help="log2 element count")
+    p.add_argument("--verify", action="store_true",
+                   help="check against golden models (reference discipline)")
+    p.add_argument("--sweep", action="store_true",
+                   help="sweep block sizes / digit widths like the reference")
+    p.add_argument("--out", type=str, default=None,
+                   help="write <out>.json and <out>.md reports")
+    args = p.parse_args()
+    rl = roofline.detect()
+    print(f"# device: {rl.device_kind}, HBM roofline {rl.hbm_gbps} GB/s")
+    records = run_suite(args.suite, args.n, args.verify, args.sweep)
+    if args.out:
+        with open(args.out + ".json", "w") as f:
+            json.dump([dataclasses.asdict(r) for r in records], f, indent=1)
+        with open(args.out + ".md", "w") as f:
+            f.write(f"# Benchmark report — {rl.device_kind}, "
+                    f"{time.strftime('%Y-%m-%d')}\n\n")
+            for r in records:
+                f.write(r.line() + "\n")
+
+
+if __name__ == "__main__":
+    main()

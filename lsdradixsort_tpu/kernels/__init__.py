@@ -1,0 +1,3 @@
+from lsdradixsort_tpu.kernels.histogram import digit_histogram, block_digit_histograms  # noqa: F401
+from lsdradixsort_tpu.kernels.scan import exclusive_scan, block_prefix_sums  # noqa: F401
+from lsdradixsort_tpu.kernels.transpose import transpose  # noqa: F401

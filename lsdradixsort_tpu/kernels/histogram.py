@@ -1,0 +1,131 @@
+"""Per-block digit histogram Pallas kernels.
+
+TPU-native reimplementation of BuildHistogramsKernel (reference:
+LSDRadixSort.cu:660-702). The CUDA kernel zero-inits 2^r shared-memory
+counters and `atomicInc`s them per element; TPU has no atomics, so we count
+with a **byte-packed accumulator** trick on the VPU:
+
+  * each uint32 accumulator lane packs 4 byte-counters (4 digit bins);
+  * an element of digit d adds (1 << ((d % 4) * 8)) to accumulator d // 4,
+    selected by comparing d // 4 against the accumulator id;
+  * rows are summed in chunks of <=248 so a byte-counter can never overflow
+    (each lane sees at most `rows` elements per chunk);
+  * the packed per-lane counters are unpacked and lane-reduced at the end.
+
+This costs ~3 VPU ops per element per 4 bins — for 4-bit digits ~15 ops/elem,
+within striking distance of the HBM read roofline, with zero MXU use and no
+atomics. Layout: the key stream is viewed as (num_blocks * ROWS, 128); one
+grid step = one block of (ROWS, 128) = `block_size` keys.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+# Max rows summed before unpacking. Counting runs in int32 (Mosaic has no
+# unsigned reductions), so the packed value must stay positive: the top byte
+# counter (<= rows per chunk) must stay < 128. Must be a multiple of 8 so
+# chunk slice offsets stay sublane-aligned.
+_MAX_CHUNK_ROWS = 112
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _hist_kernel(keys_ref, out_ref, *, r: int, group: int, rows: int):
+    bins = 1 << r
+    naccs = (bins + 3) // 4
+    keys = keys_ref[0]  # (rows, LANES)
+    shift = jnp.uint32(r * group)
+    mask = jnp.uint32(bins - 1)
+    digits = jnp.bitwise_and(jnp.right_shift(keys, shift), mask).astype(jnp.int32)
+    # packed one-hot increment: byte slot (d & 3), accumulator (d >> 2)
+    inc = jnp.left_shift(jnp.int32(1),
+                         jnp.left_shift(jnp.bitwise_and(digits, 3), 3))
+    acc_id = jnp.right_shift(digits, 2)
+
+    n_chunks = (rows + _MAX_CHUNK_ROWS - 1) // _MAX_CHUNK_ROWS
+    # everything below is pure broadcasting — Mosaic supports neither
+    # concatenate of small vectors nor dynamic_update_slice in kernels
+    acc_iota = jax.lax.broadcasted_iota(jnp.int32, (naccs, 1, 1), 0)
+    byte_shift = 8 * jax.lax.broadcasted_iota(jnp.int32, (1, 4, 1), 1)
+    lane_tot = jnp.zeros((naccs, 4, LANES), jnp.int32)
+    for c in range(n_chunks):
+        lo = c * _MAX_CHUNK_ROWS
+        hi = min(lo + _MAX_CHUNK_ROWS, rows)
+        # slice in 2-D before broadcasting: Mosaic mislowers sublane slices
+        # of 3-D broadcasts to shape-mismatched gathers
+        aid_c, inc_c = acc_id[lo:hi], inc[lo:hi]
+        # (naccs, chunk_rows, LANES): each element contributes its packed
+        # one-hot byte to exactly one accumulator plane
+        contrib = jnp.where(aid_c[None] == acc_iota, inc_c[None],
+                            jnp.int32(0))
+        packed = jnp.sum(contrib, axis=1)                      # (naccs, LANES)
+        lane_tot = lane_tot + jnp.bitwise_and(
+            jnp.right_shift(packed[:, None, :], byte_shift), 0xFF)
+    # (naccs, 4): row-major flatten (done outside the kernel — in-kernel
+    # sublane->lane relayouts lower poorly) is exactly bin order 4*a + j
+    out_ref[...] = jnp.sum(lane_tot, axis=2)[None].astype(jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("r", "group", "block_size", "interpret"))
+def block_digit_histograms(keys: jax.Array, r: int, group: int,
+                           block_size: int, interpret: bool | None = None
+                           ) -> jax.Array:
+    """Per-block digit histograms: (num_blocks, 2**r) uint32.
+
+    Block i's row counts r-bit digit `group` occurrences among
+    keys[i*block_size:(i+1)*block_size] — the exact contract of
+    BuildHistogramsKernel (LSDRadixSort.cu:660-702). Requires
+    len(keys) % block_size == 0 and block_size % 128 == 0.
+    """
+    n = keys.shape[0]
+    if n % block_size or block_size % LANES:
+        raise ValueError(
+            f"n={n} must be divisible by block_size={block_size}, "
+            f"block_size by {LANES}")
+    bins = 1 << r
+    rows = block_size // LANES
+    num_blocks = n // block_size
+    if interpret is None:
+        interpret = _interpret_default()
+    # 3-D layout: block dims (1, rows, LANES) / (1, naccs, 4) always satisfy
+    # the TPU constraint that a block's last two dims be (8,128)-divisible
+    # or equal to the array dims.
+    naccs = (bins + 3) // 4
+    grid = (num_blocks,)
+    out = pl.pallas_call(
+        functools.partial(_hist_kernel, r=r, group=group, rows=rows),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, naccs, 4), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_blocks, naccs, 4), jnp.uint32),
+        interpret=interpret,
+    )(keys.reshape(num_blocks, rows, LANES))
+    return out.reshape(num_blocks, naccs * 4)[:, :bins]
+
+
+@functools.partial(jax.jit, static_argnames=("r", "group", "interpret"))
+def digit_histogram(keys: jax.Array, r: int, group: int,
+                    interpret: bool | None = None) -> jax.Array:
+    """Whole-array digit histogram: (2**r,) uint32 (sum of block histograms)."""
+    n = keys.shape[0]
+    # pick a block size that divides n; fall back to one block
+    block = _pick_block(n)
+    h = block_digit_histograms(keys, r, group, block, interpret=interpret)
+    return jnp.sum(h, axis=0, dtype=jnp.uint32)
+
+
+def _pick_block(n: int) -> int:
+    for block in (1 << 17, 1 << 15, 1 << 13, 1 << 10, 1 << 8, LANES):
+        if n % block == 0:
+            return block
+    raise ValueError(f"n={n} must be a multiple of {LANES}")

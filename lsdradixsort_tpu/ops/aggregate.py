@@ -1,0 +1,81 @@
+"""Hash-aggregate operators: GROUP BY key → reduce(values).
+
+North-star config 3 (BASELINE.json): "filter + hash aggregate (GROUP BY
+SUM) over 100M-row columnar batch".
+
+TPU-native design: sort-based aggregation instead of a hash table. TPU has
+no atomics and scatters serialize, so the idiomatic plan is
+
+  1. stable sort rows by group key (reuses the flagship sort);
+  2. mark run boundaries where the sorted key changes;
+  3. per-run reduction via the *cumsum-at-boundaries* trick: the sum of a
+     run equals the difference of the inclusive cumsum at consecutive run
+     ends — one vectorized cumsum, no segment scatter;
+  4. compact boundary rows to the front (sort-by-predicate compaction).
+
+Sums use modular uint arithmetic so results are bit-exact against the
+golden model regardless of association order.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from lsdradixsort_tpu.ops.sort import sort_kv
+from lsdradixsort_tpu.ops.filter import compact
+
+
+@jax.jit
+def group_by_sum(group_keys: jax.Array, values: jax.Array):
+    """GROUP BY group_keys SUM(values).
+
+    Returns (num_groups, unique_keys_sorted, sums): the first `num_groups`
+    rows of the outputs are the result; the tail is unspecified.
+    """
+    return group_by_aggregate(group_keys, values, reduction="sum")
+
+
+@functools.partial(jax.jit, static_argnames=("reduction",))
+def group_by_aggregate(group_keys: jax.Array, values: jax.Array,
+                       reduction: str = "sum"):
+    """GROUP BY with reduction in {"sum", "min", "max", "count"}."""
+    n = group_keys.shape[0]
+    sk, sv = sort_kv(group_keys, values)
+    is_last = jnp.concatenate([sk[1:] != sk[:-1],
+                               jnp.ones((1,), dtype=bool)])
+    if reduction == "sum":
+        csum = jnp.cumsum(sv, dtype=sv.dtype)           # modular wraparound
+        agg_at_last = csum                                # diff taken post-compact
+        count, uk, run_end_csum, run_end_pos = compact(
+            is_last, sk, agg_at_last,
+            jnp.arange(n, dtype=jnp.uint32))
+        # order among run-ends is preserved, so consecutive compacted rows
+        # are consecutive runs; subtract the previous run's cumsum
+        prev = jnp.concatenate([jnp.zeros((1,), sv.dtype), run_end_csum[:-1]])
+        sums = run_end_csum - prev
+        return count, uk, sums
+    if reduction == "count":
+        pos = jnp.arange(n, dtype=jnp.uint32)
+        count, uk, run_end_pos = compact(is_last, sk, pos)
+        prev = jnp.concatenate([-jnp.ones((1,), jnp.uint32), run_end_pos[:-1]])
+        return count, uk, run_end_pos - prev
+    if reduction in ("min", "max"):
+        # within a sorted run, min/max via cummax/cummin reset at boundaries:
+        # use segmented trick — runs are contiguous, so a run's min/max is a
+        # reduction over [start, end]; implement via cummax of (value,
+        # boundary-reset) with associative_scan
+        is_first = jnp.concatenate([jnp.ones((1,), dtype=bool),
+                                    sk[1:] != sk[:-1]])
+        op = jnp.minimum if reduction == "min" else jnp.maximum
+
+        def combine(a, b):
+            va, fa = a
+            vb, fb = b
+            return jnp.where(fb, vb, op(va, vb)), fa | fb
+
+        seg_vals, _ = jax.lax.associative_scan(combine, (sv, is_first))
+        count, uk, agg = compact(is_last, sk, seg_vals)
+        return count, uk, agg
+    raise ValueError(f"unknown reduction {reduction!r}")

@@ -1,0 +1,48 @@
+"""Filter / selection operators (north star config 3, BASELINE.json).
+
+TPU-native compaction: there is no efficient scatter on TPU, so
+order-preserving compaction is expressed as a *stable sort by the negated
+predicate* — selected rows float to the front in original order, rejected
+rows sink to the back. Static shapes are preserved (XLA requirement): ops
+return the full-length array plus the count of selected rows; the tail
+beyond `count` is unspecified.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def compact(mask: jax.Array, *arrays):
+    """Stable compaction: rows where mask is True move to the front.
+
+    Returns (count, *compacted_arrays). Order among selected rows is
+    preserved (stable), matching the golden model bit-exactly on the first
+    `count` rows.
+    """
+    sort_key = jnp.where(mask, jnp.uint32(0), jnp.uint32(1))
+    out = jax.lax.sort((sort_key, *arrays), num_keys=1, is_stable=True)
+    count = jnp.sum(mask, dtype=jnp.uint32)
+    return (count, *out[1:])
+
+
+@jax.jit
+def filter_keys(keys: jax.Array, lo, hi):
+    """Range selection: rows with lo <= key < hi (order-preserving).
+
+    Returns (count, packed_keys).
+    """
+    lo = jnp.asarray(lo, keys.dtype)
+    hi = jnp.asarray(hi, keys.dtype)
+    mask = (keys >= lo) & (keys < hi)
+    return compact(mask, keys)
+
+
+@jax.jit
+def filter_kv(keys: jax.Array, values: jax.Array, lo, hi):
+    """Range selection over key-value rows. Returns (count, keys, values)."""
+    lo = jnp.asarray(lo, keys.dtype)
+    hi = jnp.asarray(hi, keys.dtype)
+    mask = (keys >= lo) & (keys < hi)
+    return compact(mask, keys, values)

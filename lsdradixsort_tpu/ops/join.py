@@ -1,0 +1,68 @@
+"""Hash join (north star config 4: build 10M / probe 100M uint32 keys).
+
+TPU-native design: a *sort-merge* join expressed entirely in sorts, scans
+and compactions — the operators this framework is fast at — instead of a
+pointer-chasing hash table (TPU has no efficient random access):
+
+  1. concatenate build and probe rows, tagged 0/1 (build first);
+  2. one stable sort by (key, tag): every probe row lands directly after
+     the build row with the same key, if any;
+  3. a segmented "broadcast first row of each key-run" scan propagates the
+     build value (and a hit flag) to all probe rows of that key;
+  4. compact the probe hits and re-sort them by original probe position,
+     so output order matches the golden model (probe order) bit-exactly.
+
+Build keys must be unique (primary-key join), as in the golden oracle.
+Output arrays are full probe length; the first `count` rows are valid.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from lsdradixsort_tpu.ops.filter import compact
+
+
+@jax.jit
+def hash_join(build_keys: jax.Array, build_vals: jax.Array,
+              probe_keys: jax.Array, probe_vals: jax.Array):
+    """Inner equi-join. Returns (count, probe_keys, probe_vals, build_vals)
+    in probe order; rows past `count` are unspecified."""
+    nb, np_ = build_keys.shape[0], probe_keys.shape[0]
+    keys = jnp.concatenate([build_keys, probe_keys])
+    tag = jnp.concatenate([jnp.zeros((nb,), jnp.uint32),
+                           jnp.ones((np_,), jnp.uint32)])
+    # payload: build value where build row, probe position where probe row
+    bval = jnp.concatenate([build_vals,
+                            jnp.zeros((np_,), build_vals.dtype)])
+    pval = jnp.concatenate([jnp.zeros((nb,), probe_vals.dtype), probe_vals])
+    ppos = jnp.concatenate([jnp.zeros((nb,), jnp.uint32),
+                            jnp.arange(np_, dtype=jnp.uint32)])
+
+    sk, stag, sbval, spval, sppos = jax.lax.sort(
+        (keys, tag, bval, pval, ppos), num_keys=2, is_stable=False)
+
+    # segmented broadcast of the run head (the build row, tag 0 sorts first)
+    is_first = jnp.concatenate([jnp.ones((1,), dtype=bool), sk[1:] != sk[:-1]])
+    head_is_build = stag == 0
+
+    def combine(a, b):
+        av, ah, af = a
+        bv, bh, bf = b
+        return (jnp.where(bf, bv, av), jnp.where(bf, bh, ah), af | bf)
+
+    seg_bval, seg_hit, _ = jax.lax.associative_scan(
+        combine, (sbval, head_is_build, is_first))
+
+    matched = (stag == 1) & seg_hit
+    count, mk, mpv, mbv, mpp = compact(matched, sk, spval, seg_bval, sppos)
+    # restore probe order among the matches; unmatched tail (position keys
+    # are unique) sinks behind because compact left it after the matches and
+    # we re-sort with position as primary key only within the full array —
+    # give unmatched rows a +2^31 offset so they stay behind.
+    order_key = jnp.where(jnp.arange(mk.shape[0], dtype=jnp.uint32)
+                          < count, mpp, mpp + jnp.uint32(0x80000000))
+    _, ok, opv, obv = jax.lax.sort((order_key, mk, mpv, mbv), num_keys=1,
+                                   is_stable=False)
+    # outputs are probe-length: matches (<= np_) sorted to the front
+    return count, ok[:np_], opv[:np_], obv[:np_]

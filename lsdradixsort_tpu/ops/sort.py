@@ -1,0 +1,140 @@
+"""Sort operators — the flagship op family.
+
+TPU-native replacement for GPULSDRadixSort (reference: LSDRadixSort.cu:839-910),
+the host orchestrator that loops histogram → local scans → transpose →
+global scan → rank-and-scatter over 32/r digit groups.
+
+Two strategies:
+
+  * ``"xla"`` (default) — jax.lax.sort. XLA's TPU sort is a heavily tuned
+    compare-exchange network; it is the production fast path on current
+    hardware and the bar the Pallas radix path must beat.
+  * ``"composed"`` — a faithful LSD radix pipeline composed from this
+    framework's own kernels (block_digit_histograms → per-block digit scans →
+    digit-major global scan → stable rank + permute), the direct analog of
+    the reference's pass structure (cu:845-906). It exists to validate the
+    kernel family end-to-end and as the scaffold for the Pallas scatter path;
+    XLA's scatter makes it slower than "xla" on TPU today.
+
+All sorts are ascending and stable (key-value variants preserve the input
+order of equal keys bit-exactly, verified against the golden model).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from lsdradixsort_tpu.core.digits import get_digit, num_digit_groups
+from lsdradixsort_tpu.kernels.histogram import block_digit_histograms
+from lsdradixsort_tpu.kernels.scan import exclusive_scan
+
+_STRATEGIES = ("xla", "composed")
+
+
+@functools.partial(jax.jit, static_argnames=("strategy", "r", "block_size"))
+def sort(keys: jax.Array, strategy: str = "xla", r: int = 8,
+         block_size: int = 1 << 13) -> jax.Array:
+    """Sort uint32 keys ascending (TestGPULSDRadixSort path, cu:912-1030)."""
+    if strategy == "xla":
+        return jax.lax.sort(keys)
+    if strategy == "composed":
+        return _composed_lsd_sort(keys, r=r, block_size=block_size)
+    raise ValueError(f"unknown strategy {strategy!r}; pick from {_STRATEGIES}")
+
+
+@functools.partial(jax.jit, static_argnames=("strategy", "r", "block_size"))
+def sort_kv(keys: jax.Array, values: jax.Array, strategy: str = "xla",
+            r: int = 8, block_size: int = 1 << 13):
+    """Stable key-value sort (north-star extension; keys u32, any payload)."""
+    if strategy == "xla":
+        return _stable_sort_kv_xla(keys, values)
+    if strategy == "composed":
+        return _composed_lsd_sort_kv(keys, values, r=r, block_size=block_size)
+    raise ValueError(f"unknown strategy {strategy!r}; pick from {_STRATEGIES}")
+
+
+@jax.jit
+def argsort(keys: jax.Array) -> jax.Array:
+    """Stable ascending argsort of uint32 keys."""
+    iota = jnp.arange(keys.shape[0], dtype=jnp.uint32)
+    _, perm = _stable_sort_kv_xla(keys, iota)
+    return perm
+
+
+def _stable_sort_kv_xla(keys, values):
+    """lax.sort is stable when is_stable=True; sorts payload along."""
+    flat_vals, treedef = jax.tree.flatten(values)
+    out = jax.lax.sort((keys, *flat_vals), num_keys=1, is_stable=True)
+    return out[0], jax.tree.unflatten(treedef, out[1:])
+
+
+# ---------------------------------------------------------------------------
+# Composed LSD radix pipeline (reference pass structure, cu:845-906)
+# ---------------------------------------------------------------------------
+
+def _pass_destinations(keys, r: int, group: int, block_size: int):
+    """Global stable destination of every element for one radix pass.
+
+    dst = global_offset[digit][block] + local_rank, where global offsets are
+    the exclusive scan of the digit-major (transposed) histogram matrix
+    (cu:877-895) and local_rank is the element's stable rank among equal
+    digits within its block (cu:829-833).
+    """
+    n = keys.shape[0]
+    nb = n // block_size
+    digits = get_digit(keys, r, group)                      # (n,) int32
+    # per-block histograms via the Pallas kernel (C7)
+    hist = block_digit_histograms(keys, r, group, block_size)  # (nb, bins) u32
+    # digit-major global offsets: transpose + flat exclusive scan (C6 + C4)
+    gscan = exclusive_scan(hist.T.reshape(-1).astype(jnp.uint32))
+    gofs = gscan.reshape(-1, nb)                            # (bins, nb)
+    # per-block exclusive digit offsets (local scan of each histogram row,
+    # the BlockPrefixSumKernel-per-row step at cu:866-870)
+    lofs = jnp.cumsum(hist, axis=1, dtype=jnp.uint32) - hist  # (nb, bins)
+    # stable local rank among equal digits within the block, via
+    # argsort/inverse-argsort (vectorized equivalent of the in-smem binary
+    # split sort, cu:373-402)
+    dig2 = digits.reshape(nb, block_size)
+    order = jnp.argsort(dig2, axis=1, stable=True)
+    sorted_dig = jnp.take_along_axis(dig2, order, axis=1)
+    pos = jnp.broadcast_to(jnp.arange(block_size, dtype=jnp.uint32),
+                           (nb, block_size))
+    rank_sorted = pos - jnp.take_along_axis(lofs, sorted_dig, axis=1)
+    inv = jnp.argsort(order, axis=1)
+    local_rank = jnp.take_along_axis(rank_sorted, inv, axis=1)  # (nb, B)
+    block_ids = jnp.broadcast_to(jnp.arange(nb)[:, None], (nb, block_size))
+    dst = gofs[dig2, block_ids] + local_rank
+    return dst.reshape(n)
+
+
+def _composed_pass(keys, payload, r, group, block_size):
+    dst = _pass_destinations(keys, r, group, block_size)
+    out_keys = jnp.zeros_like(keys).at[dst].set(keys, unique_indices=True)
+    if payload is None:
+        return out_keys, None
+    out_payload = jax.tree.map(
+        lambda v: jnp.zeros_like(v).at[dst].set(v, unique_indices=True),
+        payload)
+    return out_keys, out_payload
+
+
+def _composed_lsd_sort(keys, r: int, block_size: int):
+    n = keys.shape[0]
+    if n % block_size:
+        raise ValueError(f"composed strategy needs n % block_size == 0 "
+                         f"(n={n}, block_size={block_size})")
+    for group in range(num_digit_groups(r)):
+        keys, _ = _composed_pass(keys, None, r, group, block_size)
+    return keys
+
+
+def _composed_lsd_sort_kv(keys, values, r: int, block_size: int):
+    n = keys.shape[0]
+    if n % block_size:
+        raise ValueError(f"composed strategy needs n % block_size == 0 "
+                         f"(n={n}, block_size={block_size})")
+    for group in range(num_digit_groups(r)):
+        keys, values = _composed_pass(keys, values, r, group, block_size)
+    return keys, values

@@ -1,0 +1,76 @@
+"""Pallas kernel correctness vs golden models (interpret mode on CPU).
+
+Mirrors the reference's per-primitive Test* functions (TestBuildHistogram
+cu:704-793, TestBlockPrefixSumKernel cu:209-263, TestGPUPrefixSum
+cu:304-371, TestTranspose cu:546-637) as parametrized pytest cases.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from lsdradixsort_tpu import golden
+from lsdradixsort_tpu.kernels.histogram import block_digit_histograms, digit_histogram
+from lsdradixsort_tpu.kernels.scan import exclusive_scan, block_prefix_sums
+from lsdradixsort_tpu.kernels.transpose import transpose, transpose_tiled
+from lsdradixsort_tpu.utils import check_arrays
+
+
+def _keys(rng, n):
+    return rng.integers(0, 1 << 32, size=n, dtype=np.uint32)
+
+
+@pytest.mark.parametrize("r,group", [(1, 0), (2, 5), (4, 3), (8, 0), (8, 3)])
+@pytest.mark.parametrize("block", [128, 1024])
+def test_block_histograms_vs_golden(rng, r, group, block):
+    keys = _keys(rng, 4 * block)
+    got = block_digit_histograms(jnp.asarray(keys), r, group, block)
+    want = golden.digit_histograms(keys, r, group, block)
+    check_arrays(got, want, f"hist r={r} g={group} b={block}")
+
+
+def test_block_histogram_byte_overflow_guard(rng):
+    # a block large enough that per-lane byte counters would overflow
+    # without chunking: all-equal digits, 512 rows of 128 lanes
+    keys = np.zeros(512 * 128, dtype=np.uint32)
+    got = block_digit_histograms(jnp.asarray(keys), 4, 0, 512 * 128)
+    assert int(got[0, 0]) == 512 * 128
+
+
+def test_whole_array_histogram(rng):
+    keys = _keys(rng, 1 << 15)
+    got = digit_histogram(jnp.asarray(keys), 8, 2)
+    want = golden.digit_histograms(keys, 8, 2, keys.size).sum(axis=0)
+    check_arrays(got, want.astype(np.uint32), "digit_histogram")
+
+
+@pytest.mark.parametrize("n", [128, 1 << 12, 1 << 16, 100_000, 131_072 + 640])
+def test_exclusive_scan_vs_golden(rng, n):
+    a = _keys(rng, n)  # full-range values exercise uint32 wraparound
+    got = exclusive_scan(jnp.asarray(a), block_rows=8)
+    check_arrays(got, golden.prefix_sum(a), f"scan n={n}")
+
+
+def test_exclusive_scan_int32(rng):
+    a = rng.integers(0, 100, size=5000, dtype=np.int32)
+    got = exclusive_scan(jnp.asarray(a), block_rows=8)
+    want = np.zeros_like(a)
+    np.cumsum(a[:-1], out=want[1:])
+    check_arrays(got, want, "scan i32")
+
+
+@pytest.mark.parametrize("block", [128, 512])
+def test_block_prefix_sums(rng, block):
+    a = _keys(rng, 4 * block)
+    scans, sums = block_prefix_sums(jnp.asarray(a), block)
+    for i in range(4):
+        blk = a[i * block:(i + 1) * block]
+        check_arrays(scans[i * block:(i + 1) * block],
+                     golden.prefix_sum(blk), f"block {i}")
+        assert np.uint32(sums[i]) == np.sum(blk, dtype=np.uint32)
+
+
+def test_transpose_vs_golden(rng):
+    a = rng.integers(0, 1 << 32, size=(128, 256), dtype=np.uint32)
+    check_arrays(transpose(jnp.asarray(a)), golden.transpose(a), "xla T")
+    check_arrays(transpose_tiled(jnp.asarray(a.astype(np.int32)), tile=128),
+                 golden.transpose(a.astype(np.int32)), "pallas T")

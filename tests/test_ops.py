@@ -1,0 +1,153 @@
+"""Operator correctness vs golden models, including the property tests the
+reference lacks (SURVEY.md §4): stability with duplicate keys, non-power-of-2
+sizes, already-sorted / reverse / all-equal inputs."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from lsdradixsort_tpu import golden, ops
+from lsdradixsort_tpu.utils import check_arrays, check_sorted
+
+
+def _keys(rng, n, hi=1 << 32):
+    return rng.integers(0, hi, size=n, dtype=np.uint32)
+
+
+SPECIAL_INPUTS = {
+    "uniform": lambda rng, n: _keys(rng, n),
+    "all_equal": lambda rng, n: np.full(n, 0xDEADBEEF, dtype=np.uint32),
+    "sorted": lambda rng, n: np.sort(_keys(rng, n)),
+    "reverse": lambda rng, n: np.sort(_keys(rng, n))[::-1].copy(),
+    "few_uniques": lambda rng, n: _keys(rng, n, hi=4),
+    "extremes": lambda rng, n: rng.choice(
+        np.array([0, 1, 0xFFFFFFFE, 0xFFFFFFFF], dtype=np.uint32), size=n),
+}
+
+
+@pytest.mark.parametrize("kind", SPECIAL_INPUTS)
+@pytest.mark.parametrize("strategy", ["xla", "composed"])
+def test_sort(rng, kind, strategy):
+    n = 1 << 13 if strategy == "composed" else 10_000
+    keys = SPECIAL_INPUTS[kind](rng, n)
+    block = 1 << 10
+    got = ops.sort(jnp.asarray(keys), strategy=strategy, block_size=block)
+    check_arrays(got, np.sort(keys), f"sort[{strategy}] {kind}")
+
+
+@pytest.mark.parametrize("r", [1, 2, 4, 8])
+def test_composed_sort_digit_widths(rng, r):
+    keys = _keys(rng, 1 << 12)
+    got = ops.sort(jnp.asarray(keys), strategy="composed", r=r,
+                   block_size=1 << 9)
+    check_arrays(got, np.sort(keys), f"composed r={r}")
+
+
+@pytest.mark.parametrize("strategy", ["xla", "composed"])
+@pytest.mark.parametrize("kind", ["uniform", "all_equal", "few_uniques"])
+def test_sort_kv_stable(rng, kind, strategy):
+    n = 1 << 12
+    keys = SPECIAL_INPUTS[kind](rng, n)
+    vals = np.arange(n, dtype=np.uint32)
+    gk, gv = ops.sort_kv(jnp.asarray(keys), jnp.asarray(vals),
+                         strategy=strategy, block_size=1 << 9)
+    wk, wv = golden.lsd_radix_sort_kv(keys, vals)
+    check_arrays(gk, wk, f"kv keys {kind}")
+    check_arrays(gv, wv, f"kv vals {kind} (stability)")
+
+
+def test_sort_non_power_of_two(rng):
+    keys = _keys(rng, 99_991)  # prime size
+    check_arrays(ops.sort(jnp.asarray(keys)), np.sort(keys), "np2")
+
+
+def test_argsort(rng):
+    keys = _keys(rng, 5000, hi=16)
+    perm = np.asarray(ops.argsort(jnp.asarray(keys)))
+    np.testing.assert_array_equal(perm, np.argsort(keys, kind="stable"))
+
+
+def test_filter(rng):
+    keys = _keys(rng, 20_000)
+    lo, hi = np.uint32(1 << 30), np.uint32(3 << 30)
+    count, packed = ops.filter_keys(jnp.asarray(keys), lo, hi)
+    want = golden.filter_keys(keys, lo, hi)
+    assert int(count) == want.size
+    check_arrays(np.asarray(packed)[:want.size], want, "filter")
+
+
+def test_filter_kv_order_preserving(rng):
+    keys = _keys(rng, 10_000, hi=100)
+    vals = np.arange(10_000, dtype=np.uint32)
+    count, fk, fv = ops.filter_kv(jnp.asarray(keys), jnp.asarray(vals), 10, 50)
+    mask = (keys >= 10) & (keys < 50)
+    c = int(count)
+    check_arrays(np.asarray(fk)[:c], keys[mask], "fkv keys")
+    check_arrays(np.asarray(fv)[:c], vals[mask], "fkv vals")
+
+
+def test_group_by_sum(rng):
+    gk = _keys(rng, 50_000, hi=1000)
+    v = _keys(rng, 50_000)
+    count, uk, sums = ops.group_by_sum(jnp.asarray(gk), jnp.asarray(v))
+    wk, ws = golden.group_by_sum(gk, v)
+    c = int(count)
+    assert c == wk.size
+    check_arrays(np.asarray(uk)[:c], wk, "gb keys")
+    check_arrays(np.asarray(sums)[:c], ws, "gb sums (u32 wraparound)")
+
+
+def test_group_by_sum_single_group(rng):
+    gk = np.zeros(4096, dtype=np.uint32)
+    v = _keys(rng, 4096)
+    count, uk, sums = ops.group_by_sum(jnp.asarray(gk), jnp.asarray(v))
+    assert int(count) == 1
+    assert np.uint32(sums[0]) == np.sum(v, dtype=np.uint32)
+
+
+@pytest.mark.parametrize("red", ["min", "max", "count"])
+def test_group_by_other_reductions(rng, red):
+    gk = _keys(rng, 10_000, hi=100)
+    v = _keys(rng, 10_000)
+    count, uk, agg = ops.group_by_aggregate(jnp.asarray(gk), jnp.asarray(v),
+                                            reduction=red)
+    c = int(count)
+    wk = np.unique(gk)
+    assert c == wk.size
+    fn = {"min": np.min, "max": np.max, "count": lambda x: x.size}[red]
+    want = np.array([fn(v[gk == k]) for k in wk], dtype=np.uint32)
+    check_arrays(np.asarray(agg)[:c], want, f"gb {red}")
+
+
+def test_hash_join(rng):
+    bk = rng.permutation(np.arange(1000, dtype=np.uint32))
+    bv = bk * 3 + 1
+    pk = _keys(rng, 20_000, hi=2000)
+    pv = np.arange(20_000, dtype=np.uint32)
+    count, jk, jpv, jbv = ops.hash_join(
+        jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk), jnp.asarray(pv))
+    wk, wpv, wbv = golden.hash_join(bk, bv, pk, pv)
+    c = int(count)
+    assert c == wk.size
+    check_arrays(np.asarray(jk)[:c], wk, "join keys")
+    check_arrays(np.asarray(jpv)[:c], wpv, "join probe vals")
+    check_arrays(np.asarray(jbv)[:c], wbv, "join build vals")
+
+
+def test_hash_join_no_matches(rng):
+    bk = np.arange(100, dtype=np.uint32)
+    pk = np.arange(100, 200, dtype=np.uint32)
+    count, *_ = ops.hash_join(jnp.asarray(bk), jnp.asarray(bk),
+                              jnp.asarray(pk), jnp.asarray(pk))
+    assert int(count) == 0
+
+
+def test_hash_join_all_match_duplicated_probes(rng):
+    bk = np.arange(10, dtype=np.uint32)
+    bv = bk + 100
+    pk = np.tile(bk, 50)
+    pv = np.arange(500, dtype=np.uint32)
+    count, jk, jpv, jbv = ops.hash_join(
+        jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk), jnp.asarray(pv))
+    assert int(count) == 500
+    check_arrays(np.asarray(jk), pk, "dup join keys")
+    check_arrays(np.asarray(jbv), pk + 100, "dup join build vals")

@@ -1,0 +1,73 @@
+"""Distributed path on an 8-virtual-device CPU mesh (SURVEY.md §4):
+the same shard_map/collective code the driver dry-runs and real slices run."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lsdradixsort_tpu import golden
+from lsdradixsort_tpu.parallel import (make_mesh, shard_1d, dist_sort,
+                                       dist_sort_kv, dist_digit_histogram)
+from lsdradixsort_tpu.utils import check_arrays
+
+
+def _keys(rng, n, hi=1 << 32):
+    return rng.integers(0, hi, size=n, dtype=np.uint32)
+
+
+SKEWS = {
+    "uniform": lambda rng, n: _keys(rng, n),
+    "all_equal": lambda rng, n: np.full(n, 7, dtype=np.uint32),  # max skew
+    "sorted": lambda rng, n: np.sort(_keys(rng, n)),
+    "one_hot_key": lambda rng, n: np.where(rng.random(n) < 0.9,
+                                           np.uint32(42), _keys(rng, n)),
+    "few_uniques": lambda rng, n: _keys(rng, n, hi=3),
+}
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh(8)
+
+
+@pytest.mark.parametrize("kind", SKEWS)
+def test_dist_sort(rng, mesh, kind):
+    n = 1 << 13
+    keys = SKEWS[kind](rng, n)
+    x = shard_1d(jnp.asarray(keys), mesh)
+    out = dist_sort(x, mesh)
+    check_arrays(np.asarray(out), np.sort(keys), f"dist_sort {kind}")
+
+
+@pytest.mark.parametrize("kind", ["uniform", "all_equal", "one_hot_key",
+                                  "few_uniques"])
+def test_dist_sort_kv_stable(rng, mesh, kind):
+    n = 1 << 12
+    keys = SKEWS[kind](rng, n)
+    vals = np.arange(n, dtype=np.uint32)
+    k = shard_1d(jnp.asarray(keys), mesh)
+    v = shard_1d(jnp.asarray(vals), mesh)
+    ok, ov = dist_sort_kv(k, v, mesh)
+    wk, wv = golden.lsd_radix_sort_kv(keys, vals)
+    check_arrays(np.asarray(ok), wk, f"dist kv keys {kind}")
+    check_arrays(np.asarray(ov), wv, f"dist kv vals {kind} (global stability)")
+
+
+def test_dist_sort_balanced_shards(rng, mesh):
+    # every shard must hold exactly n/D rows even under maximum skew
+    n = 1 << 12
+    keys = np.full(n, 3, dtype=np.uint32)
+    out = dist_sort(shard_1d(jnp.asarray(keys), mesh), mesh)
+    assert out.shape == (n,)
+    check_arrays(np.asarray(out), keys, "all-equal balanced")
+
+
+@pytest.mark.parametrize("r,group", [(4, 0), (8, 1)])
+def test_dist_histogram(rng, mesh, r, group):
+    n = 1 << 13
+    keys = _keys(rng, n)
+    got = dist_digit_histogram(shard_1d(jnp.asarray(keys), mesh), r, group,
+                               mesh)
+    want = golden.digit_histograms(keys, r, group, n).sum(axis=0)
+    check_arrays(np.asarray(got), want.astype(np.uint32), "dist hist")
