@@ -83,20 +83,96 @@ def _bench(suite, config, fn, args, n, bytes_moved, host_fn=None,
 
 def suite_sort(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
     from lsdradixsort_tpu.ops.sort import sort, sort_kv
+    from lsdradixsort_tpu import native
     n = 1 << n_log2
     keys = datagen.random_keys(n)
     out = []
     fn = jax.jit(lambda k: sort(k))
     ver = None
+    host_fn = host_args = None
+    if native.available():
+        # host baseline: the reference's CPU-golden timing (cu:984-990)
+        keys_np = np.asarray(keys)
+        tmp = np.empty_like(keys_np)
+        host_fn = lambda: native.radix_sort(keys_np)
+        host_args = ()
     if verify:
         keys_np = np.asarray(keys)
         ver = lambda: check_arrays(fn(keys), np.sort(keys_np))
     out.append(_bench("sort/keys", {"n": n}, fn, (keys,), n,
-                      bytes_moved=8 * n, verify=ver))
+                      bytes_moved=8 * n, host_fn=host_fn, host_args=host_args,
+                      verify=ver))
     vals = jnp.arange(n, dtype=jnp.uint32)
     fkv = jax.jit(lambda k, v: sort_kv(k, v))
+    vkv = None
+    if verify:
+        keys_np = np.asarray(keys)
+        perm = np.argsort(keys_np, kind="stable")
+        def vkv():
+            sk, sv = fkv(keys, vals)
+            check_arrays(sk, keys_np[perm])
+            check_arrays(sv, perm.astype(np.uint32))
     out.append(_bench("sort/kv", {"n": n}, fkv, (keys, vals), n,
-                      bytes_moved=16 * n))
+                      bytes_moved=16 * n, verify=vkv))
+    return out
+
+
+def suite_tile_sort(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
+    """Block-local stable kv sort (TestLSDBinaryRadixSort analog, cu:423-477)."""
+    from lsdradixsort_tpu.kernels.tile_sort import sort_tiles_kv
+    n = 1 << n_log2
+    keys = datagen.random_keys(n)
+    vals = jnp.arange(n, dtype=jnp.uint32)
+    rows_opts = (16, 64, 128, 512) if sweep else (128,)
+    out = []
+    for rows in rows_opts:
+        tile = rows * 128
+        if n % tile:
+            continue
+        fn = jax.jit(lambda k, v, r=rows: sort_tiles_kv(k, v, tile_rows=r))
+        ver = None
+        if verify:
+            keys_np = np.asarray(keys)
+            def ver(f=fn, t=tile, keys_np=keys_np):
+                sk, sv = f(keys, vals)
+                sk, sv = np.asarray(sk), np.asarray(sv)
+                for i in range(0, n, t):
+                    seg = keys_np[i:i + t]
+                    p = np.argsort(seg, kind="stable")
+                    check_arrays(sk[i:i + t], seg[p])
+                    check_arrays(sv[i:i + t], p.astype(np.uint32) + i)
+        out.append(_bench("tile_sort", {"n": n, "tile": tile}, fn,
+                          (keys, vals), n, bytes_moved=16 * n, verify=ver))
+    return out
+
+
+def suite_shuffle(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
+    """DMA run-shuffle bandwidth (the radix scatter's data movement)."""
+    from lsdradixsort_tpu.kernels.shuffle import shuffle_row_runs
+    n = 1 << n_log2
+    rows = n // 128
+    x = datagen.random_keys(n).reshape(rows, 128)
+    run_opts = (8, 32, 128, 512) if sweep else (32, 128)
+    out = []
+    for run in run_opts:
+        nch = rows // run
+        src = jnp.arange(nch, dtype=jnp.int32) * run
+        dst = (nch - 1 - jnp.arange(nch, dtype=jnp.int32)) * run
+        lens = jnp.full(nch, run, jnp.int32)
+        fn = jax.jit(lambda a, s, d, l, r=run: shuffle_row_runs(
+            a, s, d, l, out_rows=rows, fixed_rows=r))
+        ver = None
+        if verify:
+            xs = np.asarray(x)
+            def ver(f=fn, run=run, nch=nch, xs=xs, s=src, d=dst, l=lens):
+                got = np.asarray(f(x, s, d, l))
+                want = np.concatenate(
+                    [xs[i * run:(i + 1) * run] for i in range(nch - 1, -1, -1)])
+                check_arrays(got, want)
+        out.append(_bench("shuffle", {"rows": rows, "run_rows": run,
+                                      "run_kb": run * 128 * 4 // 1024},
+                          fn, (x, src, dst, lens), n, bytes_moved=8 * n,
+                          verify=ver))
     return out
 
 
@@ -171,6 +247,8 @@ def suite_query(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
 
 SUITES: dict[str, Callable] = {
     "sort": suite_sort,
+    "tile_sort": suite_tile_sort,
+    "shuffle": suite_shuffle,
     "histogram": suite_histogram,
     "scan": suite_scan,
     "query": suite_query,

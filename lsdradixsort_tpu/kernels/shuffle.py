@@ -1,0 +1,139 @@
+"""DMA run-shuffle — the TPU-native counterpart of the reference's global
+scatter (LSDRadixSortKernel's `b[dst] = val`, LSDRadixSort.cu:831-836).
+
+TPU vector units cannot scatter; the hardware that CAN move data to
+arbitrary addresses at full bandwidth is the DMA engine. This kernel moves
+**runs of whole 128-lane rows** between HBM buffers at dynamic, data-derived
+offsets: each grid step issues a pipeline of async copies (up to `DEPTH`
+outstanding) whose source/destination row offsets come from scalar-prefetch
+operands. Variable run lengths are decomposed by binary weight (one DMA per
+set bit), since DMA shapes must be static.
+
+Measured on TPU v5e: ~195 ns/DMA issue cost; 84 GB/s effective at 16 KB
+runs, 205 GB/s at 64 KB runs (exp/probe_permute2.py) vs 310 GB/s straight
+copy — so runs of >= 32-64 KB shuffle at near-roofline.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+DEPTH = 8          # outstanding DMAs
+MAX_LEN_BITS = 16  # run length < 2**MAX_LEN_BITS rows
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _shuffle_kernel(src_ref, dst_ref, len_ref, x_hbm, o_hbm, sems,
+                    *, runs_per_step: int, total_runs: int,
+                    in_rows: int, out_rows: int):
+    step = pl.program_id(0)
+    base = step * runs_per_step
+    max_bits = min(MAX_LEN_BITS, min(in_rows, out_rows).bit_length() - 1)
+
+    # one wave per length-bit so every in-flight DMA has the same static size
+    for bit in range(max_bits + 1):
+        size = 1 << bit
+
+        def wave(i, _, bit=bit, size=size):
+            r = base + i
+            valid = jnp.logical_and(r < total_runs,
+                                    (len_ref[r] & size) != 0)
+
+            @pl.when(valid)
+            def _():
+                ln = len_ref[r]
+                # chunk for this bit starts after all higher-bit chunks
+                off = (ln >> (bit + 1)) << (bit + 1)
+                dma = pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(src_ref[r] + off, size), :],
+                    o_hbm.at[pl.ds(dst_ref[r] + off, size), :],
+                    sems.at[i % DEPTH],
+                )
+                dma.start()
+                dma.wait()
+            return 0
+        jax.lax.fori_loop(0, runs_per_step, wave, 0)
+
+
+def _shuffle_kernel_pipelined(src_ref, dst_ref, len_ref, x_hbm, o_hbm, sems,
+                              *, runs_per_step: int, total_runs: int,
+                              chunk_rows: int):
+    """Fast path: all runs are exact multiples of `chunk_rows`; issue
+    chunk-sized DMAs with DEPTH outstanding."""
+    step = pl.program_id(0)
+    base = step * runs_per_step
+
+    def mkdma(i):
+        r = base + i
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(src_ref[r], chunk_rows), :],
+            o_hbm.at[pl.ds(dst_ref[r], chunk_rows), :],
+            sems.at[i % DEPTH],
+        )
+
+    for i in range(min(DEPTH, runs_per_step)):
+        @pl.when(base + i < total_runs)
+        def _(i=i):
+            mkdma(i).start()
+
+    def body(i, _):
+        @pl.when(base + i < total_runs)
+        def _():
+            mkdma(i).wait()
+        nxt = i + DEPTH
+        @pl.when(jnp.logical_and(nxt < runs_per_step,
+                                 base + nxt < total_runs))
+        def _():
+            mkdma(nxt).start()
+        return 0
+    jax.lax.fori_loop(0, runs_per_step, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("out_rows", "runs_per_step",
+                                             "fixed_rows", "interpret"))
+def shuffle_row_runs(x: jax.Array, src_rows: jax.Array, dst_rows: jax.Array,
+                     run_rows: jax.Array, out_rows: int,
+                     runs_per_step: int = 256, fixed_rows: int = 0,
+                     interpret: bool | None = None) -> jax.Array:
+    """Copy row-runs of `x` to new offsets: the data movement of a radix pass.
+
+    x: (rows, 128) uint32. For each run i:
+        out[dst_rows[i] : dst_rows[i] + run_rows[i]] =
+          x[src_rows[i] : src_rows[i] + run_rows[i]]
+    Rows not covered by any run are zero. `fixed_rows > 0` promises every
+    run_rows[i] == fixed_rows (enables the fully pipelined path).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    nruns = src_rows.shape[0]
+    grid = (pl.cdiv(nruns, runs_per_step),)
+    if fixed_rows:
+        kern = functools.partial(_shuffle_kernel_pipelined,
+                                 runs_per_step=runs_per_step,
+                                 total_runs=nruns, chunk_rows=fixed_rows)
+    else:
+        kern = functools.partial(_shuffle_kernel, runs_per_step=runs_per_step,
+                                 total_runs=nruns, in_rows=x.shape[0],
+                                 out_rows=out_rows)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((out_rows, LANES), jnp.uint32),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((DEPTH,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(src_rows.astype(jnp.int32), dst_rows.astype(jnp.int32),
+      run_rows.astype(jnp.int32), x)

@@ -1,0 +1,274 @@
+"""Distributed query operators: GROUP BY and hash join over a device mesh.
+
+North-star config 5 (BASELINE.json): "distributed sort+join query: 1B rows
+hash-partitioned across 2+ hosts with skew-aware radix shuffle".
+
+Design: both operators ride the distributed sort (parallel/dist_sort.py),
+which already solves the hard distributed problems — exact balanced
+partitioning under arbitrary skew (equal-key rank splitting) and the
+ragged all-to-all shuffle. Sorting replaces hash partitioning because a
+sorted layout is simultaneously (a) perfectly balanced for ANY key
+distribution — a hash-partitioned heavy key overloads one shard, which is
+exactly the skew problem the north star calls out — and (b) the layout
+local sort-based aggregation/join kernels want.
+
+After the global sort, a key's rows are contiguous but may span shard
+boundaries; the cross-shard fix-up gathers each shard's head/tail run
+summaries (O(D) scalars) and resolves ownership chains — including runs
+spanning many whole shards (all-equal-keys input) — with closed-form
+vector math over the gathered (D,) arrays.
+
+Outputs are ragged per shard: each shard's first `count` slots are valid.
+`undistribute()` compacts them on host for oracle comparison in tests.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from lsdradixsort_tpu.parallel.mesh import DATA_AXIS
+from lsdradixsort_tpu.parallel.dist_sort import _dist_sort_shard
+
+
+def _chain_correction(t_key, h_key, h_sum, full, me, d):
+    """Sum of following shards' head-run sums that continue my tail run.
+
+    contribution of shard j > me: h_sum[j] if h_key[j] == my tail key and
+    every shard strictly between me and j is entirely that key.
+    """
+    j = jnp.arange(d)
+    same = h_key == t_key                       # (D,)
+    # chain[j] = all shards in (me, j) are full & same-key
+    blocker = ~(full & same)                    # shard that breaks the chain
+    blocked_before = jnp.cumsum(
+        jnp.where((j > me) & blocker, 1, 0)) - jnp.where(
+        (j > me) & blocker, 1, 0)               # exclusive count in (me, j)
+    take = (j > me) & same & (blocked_before == 0)
+    return jnp.sum(jnp.where(take, h_sum, jnp.zeros_like(h_sum)),
+                   dtype=h_sum.dtype)
+
+
+def _local_runs_sum(sk, sv):
+    """Per-run sums of a locally sorted shard via the cumsum-at-boundary
+    trick (ops/aggregate.py). Returns (is_last_local, run_sums_at_last)."""
+    csum = jnp.cumsum(sv, dtype=sv.dtype)
+    is_boundary = jnp.concatenate([sk[1:] != sk[:-1],
+                                   jnp.ones((1,), dtype=bool)])
+    return is_boundary, csum
+
+
+def _dist_group_by_sum_shard(keys, vals, ranks, axis, n_total):
+    d = n_total // keys.shape[0]
+    sk, sv = _dist_sort_shard(keys, (vals,), ranks, axis, n_total,
+                              stable=False)
+    n_local = sk.shape[0]
+    me = jax.lax.axis_index(axis)
+
+    # run structure within the shard
+    csum = jnp.cumsum(sv, dtype=sv.dtype)
+    head_key, tail_key = sk[0], sk[-1]
+    head_len = jnp.sum((sk == head_key).astype(jnp.uint32))
+    head_sum = csum[head_len - 1]
+    tail_start = jnp.sum((sk != tail_key).astype(jnp.uint32))  # sorted
+    tail_sum = csum[-1] - jnp.where(tail_start > 0,
+                                    csum[tail_start - 1], jnp.uint32(0))
+
+    h_key = jax.lax.all_gather(head_key, axis)   # (D,)
+    t_key = jax.lax.all_gather(tail_key, axis)
+    h_sum = jax.lax.all_gather(head_sum, axis)
+    full = h_key == t_key                        # single-key shards
+
+    own_head = jnp.where(me == 0, True, t_key[jnp.maximum(me - 1, 0)]
+                         != head_key)
+    corr = _chain_correction(tail_key, h_key, h_sum, full, me, d)
+
+    # local per-run sums (diff of csum at boundaries, as in ops/aggregate.py)
+    is_last = jnp.concatenate([sk[1:] != sk[:-1], jnp.ones((1,), bool)])
+    pos = jnp.arange(n_local, dtype=jnp.uint32)
+    # drop the head run when a previous shard owns it
+    drop_head = (~own_head) & (sk == head_key)
+    valid = is_last & ~drop_head
+    # compact valid runs to the front, keeping key order
+    order = jnp.argsort(~valid, stable=True)    # valid first, order kept
+    vk = sk[order]
+    vcs = csum[order]
+    vpos = pos[order]
+    count = jnp.sum(valid.astype(jnp.uint32))
+    # run sum = csum[last] - csum[previous run's last within this shard];
+    # for the first valid run, subtract csum just before the run start
+    # (which is the dropped-head prefix when the head is foreign, else 0)
+    prev_last = jnp.concatenate([jnp.zeros((1,), jnp.uint32), vpos[:-1] + 1])
+    first_start = jnp.where(own_head, jnp.uint32(0), head_len)
+    run_start = jnp.where(jnp.arange(n_local) == 0, first_start, prev_last)
+    sums = jnp.where(run_start > 0,
+                     vcs - jnp.take(csum, jnp.maximum(run_start, 1) - 1),
+                     vcs)
+    # add the cross-shard continuation to my tail run (only if it is mine
+    # and it is valid == owned)
+    is_my_tail = vk == tail_key
+    in_range = jnp.arange(n_local, dtype=jnp.uint32) < count
+    sums = jnp.where(is_my_tail & in_range, sums + corr, sums)
+    return (count.reshape(1), vk, sums)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+def dist_group_by_sum(keys: jax.Array, values: jax.Array, mesh: Mesh,
+                      axis: str = DATA_AXIS):
+    """Distributed GROUP BY key SUM(value) (modular uint32 sums).
+
+    Returns (counts, keys, sums): counts is (D,); shard s's valid result
+    rows are keys/sums[s*n/D : s*n/D + counts[s]], keys globally sorted
+    across the valid rows.
+    """
+    n = keys.shape[0]
+    d = mesh.shape[axis]
+    if n % d:
+        raise ValueError(f"n={n} must be divisible by mesh size {d}")
+    ranks = jnp.arange(1, d, dtype=jnp.uint32) * jnp.uint32(n // d)
+
+    fn = shard_map(
+        lambda k, v: _dist_group_by_sum_shard(k, v, ranks, axis, n),
+        mesh=mesh, in_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis)))
+    return fn(keys, values)
+
+
+def _dist_join_shard(keys, tag, bval, pval, ppos, src, ranks, axis, n_total):
+    """Local step of the distributed join after a stable global sort by key.
+
+    `src` is tag-biased (build rows rank below all probe rows of the same
+    key), so after the per-shard re-sort by (key, src) a key's build row —
+    unique by contract — is the FIRST row of that key's run within whichever
+    shard it landed in. The exchange splits equal-key rows across shards in
+    mesh order of their origin, so the build row can land in ANY shard of a
+    key's span: propagation must run both forward (probes after the build's
+    shard) and backward (probes before it), across chains of shards fully
+    occupied by the key.
+    """
+    sk, stag, sbval, spval, sppos = _dist_sort_shard(
+        keys, (tag, bval, pval, ppos), ranks, axis, n_total, stable=True,
+        src=src)
+
+    me = jax.lax.axis_index(axis)
+    # within-shard segmented broadcast of the run-head build value
+    is_first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    head_is_build = stag == jnp.uint32(0)
+
+    def combine(a, b):
+        av, ah, af = a
+        bv, bh, bf = b
+        return (jnp.where(bf, bv, av), jnp.where(bf, bh, ah), af | bf)
+
+    seg_bval, seg_hit, _ = jax.lax.associative_scan(
+        combine, (sbval, head_is_build, is_first))
+
+    head_key, tail_key = sk[0], sk[-1]
+    h_key = jax.lax.all_gather(head_key, axis)   # (D,)
+    t_key = jax.lax.all_gather(tail_key, axis)
+    t_bval = jax.lax.all_gather(seg_bval[-1], axis)
+    t_hit = jax.lax.all_gather(seg_hit[-1], axis)
+    # head-run build row sits at position 0 when present (build-first order)
+    f_isb = jax.lax.all_gather(head_is_build[0], axis)
+    f_bval = jax.lax.all_gather(sbval[0], axis)
+    full = h_key == t_key
+    d = t_key.shape[0]
+    j = jnp.arange(d)
+
+    # FORWARD: nearest shard j < me with tail key == my head key, build seen
+    # in its tail run, and every shard in (j, me) fully that key.
+    same_f = t_key == head_key
+    blocker_f = ~(full & same_f)
+    blk = jnp.where((j < me) & blocker_f, 1, 0)
+    blocked_fwd = jnp.cumsum(blk[::-1])[::-1] - blk    # blockers in (j, me)
+    cand_f = (j < me) & same_f & (blocked_fwd == 0) & t_hit
+    best_f = jnp.max(jnp.where(cand_f, j, -1))
+    fwd_hit = best_f >= 0
+    fwd_bval = jnp.where(fwd_hit, t_bval[jnp.maximum(best_f, 0)],
+                         jnp.uint32(0))
+    in_head_run = sk == head_key
+    seg_bval = jnp.where(in_head_run & ~seg_hit & fwd_hit, fwd_bval, seg_bval)
+    seg_hit = seg_hit | (in_head_run & fwd_hit)
+
+    # BACKWARD: nearest shard j > me whose head key == my tail key with the
+    # build row at its head, chain of fully-occupied shards in (me, j).
+    same_b = h_key == tail_key
+    blocker_b = ~(full & same_b)
+    blk_b = jnp.where((j > me) & blocker_b, 1, 0)
+    blocked_bwd = jnp.cumsum(blk_b) - blk_b            # blockers in (me, j)
+    cand_b = (j > me) & same_b & (blocked_bwd == 0) & f_isb
+    best_b = jnp.min(jnp.where(cand_b, j, d))
+    bwd_hit = best_b < d
+    bwd_bval = jnp.where(bwd_hit, f_bval[jnp.minimum(best_b, d - 1)],
+                         jnp.uint32(0))
+    in_tail_run = sk == tail_key
+    seg_bval = jnp.where(in_tail_run & ~seg_hit & bwd_hit, bwd_bval, seg_bval)
+    seg_hit = seg_hit | (in_tail_run & bwd_hit)
+
+    matched = (stag == jnp.uint32(1)) & seg_hit
+    count = jnp.sum(matched.astype(jnp.uint32))
+    order = jnp.argsort(~matched, stable=True)         # matches first
+    return (count.reshape(1), sk[order], spval[order], seg_bval[order],
+            sppos[order])
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+def dist_join(build_keys: jax.Array, build_vals: jax.Array,
+              probe_keys: jax.Array, probe_vals: jax.Array, mesh: Mesh,
+              axis: str = DATA_AXIS):
+    """Distributed inner equi-join (unique build keys).
+
+    Inputs are sharded over `axis`; build and probe sizes must each be
+    divisible by the mesh size. Returns (counts, keys, probe_vals,
+    build_vals, probe_pos) ragged per shard; `undistribute` + a sort by
+    probe_pos reproduces the single-chip oracle order.
+    """
+    nb, npr = build_keys.shape[0], probe_keys.shape[0]
+    n = nb + npr
+    d = mesh.shape[axis]
+    if nb % d or npr % d:
+        raise ValueError("build/probe sizes must divide the mesh size")
+    ranks = jnp.arange(1, d, dtype=jnp.uint32) * jnp.uint32(n // d)
+
+    # shard_map shards the leading axis: shard s holds build-shard s then
+    # probe-shard s; tag-biased src ranks every build row below every probe
+    # row of the same key for the stable global sort.
+    def shard_fn(bk, bv, pk, pv):
+        nbl, npl = bk.shape[0], pk.shape[0]
+        keys = jnp.concatenate([bk, pk])
+        tag = jnp.concatenate([jnp.zeros((nbl,), jnp.uint32),
+                               jnp.ones((npl,), jnp.uint32)])
+        bval = jnp.concatenate([bv, jnp.zeros((npl,), bv.dtype)])
+        pval = jnp.concatenate([jnp.zeros((nbl,), pv.dtype), pv])
+        me = jax.lax.axis_index(axis)
+        gprobe = (me.astype(jnp.uint32) * jnp.uint32(npl)
+                  + jnp.arange(npl, dtype=jnp.uint32))
+        gbuild = (me.astype(jnp.uint32) * jnp.uint32(nbl)
+                  + jnp.arange(nbl, dtype=jnp.uint32))
+        ppos = jnp.concatenate([jnp.zeros((nbl,), jnp.uint32), gprobe])
+        src = jnp.concatenate([gbuild,
+                               gprobe + jnp.uint32(0x80000000)])
+        return _dist_join_shard(keys, tag, bval, pval, ppos, src, ranks,
+                                axis, n)
+
+    return shard_map(shard_fn, mesh=mesh,
+                     in_specs=(P(axis),) * 4,
+                     out_specs=(P(axis),) * 5)(
+        build_keys, build_vals, probe_keys, probe_vals)
+
+
+def undistribute(counts, *arrays):
+    """Host helper: compact ragged per-shard outputs to dense numpy arrays."""
+    counts = np.asarray(counts)
+    d = counts.shape[0]
+    outs = []
+    for a in arrays:
+        a = np.asarray(a)
+        per = a.shape[0] // d
+        outs.append(np.concatenate(
+            [a[s * per: s * per + counts[s]] for s in range(d)]))
+    return (int(counts.sum()),) + tuple(outs)

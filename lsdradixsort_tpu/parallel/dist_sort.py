@@ -136,13 +136,14 @@ def _exchange_padded(arrays, input_offsets, send_sizes, recv_sizes,
     return [p[:out_len] for p in packed[1:]]
 
 
-def _dist_sort_shard(keys, values, ranks, axis, n_total, stable):
+def _dist_sort_shard(keys, values, ranks, axis, n_total, stable, src=None):
     n_local = keys.shape[0]
     d = n_total // n_local
     me = jax.lax.axis_index(axis)
     if stable:
-        src = (me.astype(jnp.uint32) * jnp.uint32(n_local)
-               + jnp.arange(n_local, dtype=jnp.uint32))
+        if src is None:
+            src = (me.astype(jnp.uint32) * jnp.uint32(n_local)
+                   + jnp.arange(n_local, dtype=jnp.uint32))
         sk, ssrc, *svals = jax.lax.sort((keys, src) + values, num_keys=1,
                                         is_stable=True)
     else:

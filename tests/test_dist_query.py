@@ -1,0 +1,123 @@
+"""Distributed GROUP BY and join vs the single-process golden models,
+on the 8-virtual-device CPU mesh (conftest.py forces CPU backend)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lsdradixsort_tpu.parallel.mesh import make_mesh
+from lsdradixsort_tpu.parallel.dist_query import (dist_group_by_sum,
+                                                  dist_join, undistribute)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+def _golden_group_by(keys, vals):
+    uk = np.unique(keys)
+    sums = np.zeros_like(uk, dtype=np.uint32)
+    np.add.at(sums, np.searchsorted(uk, keys), vals)
+    return uk.astype(np.uint32), sums
+
+
+def _check_group_by(mesh, keys, vals):
+    counts, gk, gs = dist_group_by_sum(jnp.asarray(keys), jnp.asarray(vals),
+                                       mesh=mesh)
+    total, ck, cs = undistribute(counts, gk, gs)
+    uk, us = _golden_group_by(keys, vals)
+    assert total == uk.size
+    np.testing.assert_array_equal(ck, uk)
+    np.testing.assert_array_equal(cs, us)
+
+
+def test_group_by_random(mesh):
+    rng = np.random.default_rng(0)
+    n = 1 << 12
+    keys = rng.integers(0, 200, n, dtype=np.uint64).astype(np.uint32)
+    vals = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    _check_group_by(mesh, keys, vals)
+
+
+def test_group_by_all_equal(mesh):
+    n = 1 << 10
+    keys = np.full(n, 7, np.uint32)          # one group spanning all shards
+    vals = np.arange(n, dtype=np.uint32)
+    _check_group_by(mesh, keys, vals)
+
+
+def test_group_by_all_unique(mesh):
+    n = 1 << 10
+    rng = np.random.default_rng(1)
+    keys = rng.permutation(n).astype(np.uint32)
+    vals = rng.integers(0, 1000, n).astype(np.uint32)
+    _check_group_by(mesh, keys, vals)
+
+
+def test_group_by_boundary_runs(mesh):
+    # a few huge groups so runs straddle multiple shard boundaries
+    n = 1 << 12
+    keys = np.sort(np.random.default_rng(2).integers(0, 3, n)).astype(np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    _check_group_by(mesh, keys, vals)
+
+
+def _golden_join(bk, bv, pk, pv):
+    lut = dict(zip(bk.tolist(), bv.tolist()))
+    rows = [(k, pv_i, lut[k], i) for i, (k, pv_i) in enumerate(zip(
+        pk.tolist(), pv.tolist())) if k in lut]
+    return rows
+
+
+def _check_join(mesh, bk, bv, pk, pv):
+    counts, k, pvo, bvo, pos = dist_join(
+        jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk), jnp.asarray(pv),
+        mesh=mesh)
+    total, ck, cpv, cbv, cpos = undistribute(counts, k, pvo, bvo, pos)
+    rows = _golden_join(bk, bv, pk, pv)
+    assert total == len(rows)
+    got = sorted(zip(cpos.tolist(), ck.tolist(), cpv.tolist(), cbv.tolist()))
+    want = sorted((pos, k, pv_i, bv_i) for (k, pv_i, bv_i, pos) in rows)
+    assert got == want
+
+
+def test_join_random(mesh):
+    rng = np.random.default_rng(3)
+    nb, npr = 1 << 9, 1 << 11
+    bk = rng.permutation(1 << 10)[:nb].astype(np.uint32)   # unique
+    bv = rng.integers(0, 2**32, nb, dtype=np.uint64).astype(np.uint32)
+    pk = rng.integers(0, 1 << 10, npr, dtype=np.uint64).astype(np.uint32)
+    pv = rng.integers(0, 2**32, npr, dtype=np.uint64).astype(np.uint32)
+    _check_join(mesh, bk, bv, pk, pv)
+
+
+def test_join_all_probe_same_key(mesh):
+    # maximum skew: every probe row hits one build key -> spans all shards
+    nb, npr = 8, 1 << 11
+    bk = np.arange(nb, dtype=np.uint32)
+    bv = bk * np.uint32(10)
+    pk = np.full(npr, 3, np.uint32)
+    pv = np.arange(npr, dtype=np.uint32)
+    _check_join(mesh, bk, bv, pk, pv)
+
+
+def test_join_no_matches(mesh):
+    nb, npr = 8, 1 << 9
+    bk = np.arange(nb, dtype=np.uint32)
+    bv = bk
+    pk = np.full(npr, 10_000, np.uint32)
+    pv = np.arange(npr, dtype=np.uint32)
+    _check_join(mesh, bk, bv, pk, pv)
+
+
+def test_join_probe_before_and_after_build_shard(mesh):
+    # heavy key whose probes surround the build row's landing shard
+    rng = np.random.default_rng(4)
+    nb, npr = 8, 1 << 11
+    bk = np.arange(nb, dtype=np.uint32)
+    bv = bk * np.uint32(100)
+    pk = np.concatenate([np.full(npr // 2, 0, np.uint32),
+                         np.full(npr // 2, 7, np.uint32)])
+    pv = rng.integers(0, 100, npr).astype(np.uint32)
+    _check_join(mesh, bk, bv, pk, pv)
