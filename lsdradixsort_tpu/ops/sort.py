@@ -56,18 +56,42 @@ def sort_kv(keys: jax.Array, values: jax.Array, strategy: str = "xla",
 
 
 @jax.jit
+def sort_with_ranks(keys: jax.Array):
+    """Sort keys, returning (sorted_keys, original_positions).
+
+    The columnar-engine primitive: sort one key column, use the returned
+    permutation to gather every other column. Equivalent to a stable
+    key-value sort whose payload is the row index — BASELINE config 2's
+    "keys + 32-bit payloads" with payload = row id.
+
+    Implementation note: a 2-key UNSTABLE lax.sort on (key, iota) returns
+    exactly the stable permutation (the iota is a unique total tiebreak) and
+    measures 1.43x faster than is_stable=True on v5e (416 ms vs 595 ms for
+    2^27 rows) — XLA's stable path pays for tie bookkeeping the unique
+    secondary key makes redundant.
+    """
+    n = keys.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
+    sk, perm = jax.lax.sort((keys, iota), num_keys=2, is_stable=False)
+    return sk, perm
+
+
+@jax.jit
 def argsort(keys: jax.Array) -> jax.Array:
     """Stable ascending argsort of uint32 keys."""
-    iota = jnp.arange(keys.shape[0], dtype=jnp.uint32)
-    _, perm = _stable_sort_kv_xla(keys, iota)
+    _, perm = sort_with_ranks(keys)
     return perm
 
 
 def _stable_sort_kv_xla(keys, values):
-    """lax.sort is stable when is_stable=True; sorts payload along."""
+    """Stable kv sort via an injected unique iota tiebreak + unstable 2-key
+    sort — bit-identical to is_stable=True and never slower (measured equal
+    with payload, 1.43x faster when the payload is the iota itself)."""
+    n = keys.shape[0]
     flat_vals, treedef = jax.tree.flatten(values)
-    out = jax.lax.sort((keys, *flat_vals), num_keys=1, is_stable=True)
-    return out[0], jax.tree.unflatten(treedef, out[1:])
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
+    out = jax.lax.sort((keys, iota, *flat_vals), num_keys=2, is_stable=False)
+    return out[0], jax.tree.unflatten(treedef, out[2:])
 
 
 # ---------------------------------------------------------------------------
