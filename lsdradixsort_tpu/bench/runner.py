@@ -219,6 +219,28 @@ def suite_scan(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
     return out
 
 
+def suite_transpose(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
+    """Matrix transpose (TestTranspose analog, cu:546-637). On TPU this is
+    an XLA relayout — benchmarked to document that the reference's tiled
+    smem kernel is a no-op concern here."""
+    from lsdradixsort_tpu.kernels.transpose import transpose
+    n = 1 << n_log2
+    shapes = [(1 << (n_log2 // 2), n >> (n_log2 // 2))]
+    if sweep:
+        shapes += [(256, n // 256), (n // 256, 256)]
+    out = []
+    for rows, cols in shapes:
+        a = datagen.random_keys(n).reshape(rows, cols)
+        fn = jax.jit(transpose)
+        ver = None
+        if verify:
+            a_np = np.asarray(a)
+            ver = lambda f=fn, a_np=a_np: check_arrays(f(a), a_np.T)
+        out.append(_bench("transpose", {"rows": rows, "cols": cols}, fn,
+                          (a,), n, bytes_moved=8 * n, verify=ver))
+    return out
+
+
 def suite_query(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
     """filter + aggregate + join — north star configs 3-4."""
     from lsdradixsort_tpu.ops import filter_kv, group_by_sum, hash_join
@@ -251,6 +273,7 @@ SUITES: dict[str, Callable] = {
     "shuffle": suite_shuffle,
     "histogram": suite_histogram,
     "scan": suite_scan,
+    "transpose": suite_transpose,
     "query": suite_query,
 }
 

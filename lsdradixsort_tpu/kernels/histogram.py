@@ -38,40 +38,44 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _hist_kernel(keys_ref, out_ref, *, r: int, group: int, rows: int):
+def _hist_kernel(keys_ref, out_ref, *, r: int, group: int, rows: int,
+                 bpg: int):
+    """Histogram `bpg` blocks per grid step (amortizes the ~2.5 us/step
+    pipeline overhead that dominates single-block launches)."""
     bins = 1 << r
     naccs = (bins + 3) // 4
-    keys = keys_ref[0]  # (rows, LANES)
     shift = jnp.uint32(r * group)
     mask = jnp.uint32(bins - 1)
-    digits = jnp.bitwise_and(jnp.right_shift(keys, shift), mask).astype(jnp.int32)
-    # packed one-hot increment: byte slot (d & 3), accumulator (d >> 2)
-    inc = jnp.left_shift(jnp.int32(1),
-                         jnp.left_shift(jnp.bitwise_and(digits, 3), 3))
-    acc_id = jnp.right_shift(digits, 2)
-
     n_chunks = (rows + _MAX_CHUNK_ROWS - 1) // _MAX_CHUNK_ROWS
     # everything below is pure broadcasting — Mosaic supports neither
     # concatenate of small vectors nor dynamic_update_slice in kernels
     acc_iota = jax.lax.broadcasted_iota(jnp.int32, (naccs, 1, 1), 0)
     byte_shift = 8 * jax.lax.broadcasted_iota(jnp.int32, (1, 4, 1), 1)
-    lane_tot = jnp.zeros((naccs, 4, LANES), jnp.int32)
-    for c in range(n_chunks):
-        lo = c * _MAX_CHUNK_ROWS
-        hi = min(lo + _MAX_CHUNK_ROWS, rows)
-        # slice in 2-D before broadcasting: Mosaic mislowers sublane slices
-        # of 3-D broadcasts to shape-mismatched gathers
-        aid_c, inc_c = acc_id[lo:hi], inc[lo:hi]
-        # (naccs, chunk_rows, LANES): each element contributes its packed
-        # one-hot byte to exactly one accumulator plane
-        contrib = jnp.where(aid_c[None] == acc_iota, inc_c[None],
-                            jnp.int32(0))
-        packed = jnp.sum(contrib, axis=1)                      # (naccs, LANES)
-        lane_tot = lane_tot + jnp.bitwise_and(
-            jnp.right_shift(packed[:, None, :], byte_shift), 0xFF)
-    # (naccs, 4): row-major flatten (done outside the kernel — in-kernel
-    # sublane->lane relayouts lower poorly) is exactly bin order 4*a + j
-    out_ref[...] = jnp.sum(lane_tot, axis=2)[None].astype(jnp.uint32)
+    for b in range(bpg):
+        keys = keys_ref[b]  # (rows, LANES)
+        digits = jnp.bitwise_and(jnp.right_shift(keys, shift),
+                                 mask).astype(jnp.int32)
+        # packed one-hot increment: byte slot (d & 3), accumulator (d >> 2)
+        inc = jnp.left_shift(jnp.int32(1),
+                             jnp.left_shift(jnp.bitwise_and(digits, 3), 3))
+        acc_id = jnp.right_shift(digits, 2)
+        lane_tot = jnp.zeros((naccs, 4, LANES), jnp.int32)
+        for c in range(n_chunks):
+            lo = c * _MAX_CHUNK_ROWS
+            hi = min(lo + _MAX_CHUNK_ROWS, rows)
+            # slice in 2-D before broadcasting: Mosaic mislowers sublane
+            # slices of 3-D broadcasts to shape-mismatched gathers
+            aid_c, inc_c = acc_id[lo:hi], inc[lo:hi]
+            # (naccs, chunk_rows, LANES): each element contributes its packed
+            # one-hot byte to exactly one accumulator plane
+            contrib = jnp.where(aid_c[None] == acc_iota, inc_c[None],
+                                jnp.int32(0))
+            packed = jnp.sum(contrib, axis=1)                  # (naccs, LANES)
+            lane_tot = lane_tot + jnp.bitwise_and(
+                jnp.right_shift(packed[:, None, :], byte_shift), 0xFF)
+        # (naccs, 4): row-major flatten (done outside the kernel — in-kernel
+        # sublane->lane relayouts lower poorly) is exactly bin order 4*a + j
+        out_ref[b] = jnp.sum(lane_tot, axis=2).astype(jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=("r", "group", "block_size", "interpret"))
@@ -99,13 +103,18 @@ def block_digit_histograms(keys: jax.Array, r: int, group: int,
     # the TPU constraint that a block's last two dims be (8,128)-divisible
     # or equal to the array dims.
     naccs = (bins + 3) // 4
-    grid = (num_blocks,)
+    # blocks per grid step: target >= 1 MB of keys per step to amortize the
+    # per-step pipeline overhead; must divide num_blocks
+    bpg = max(1, (1 << 20) // (block_size * 4))
+    while num_blocks % bpg:
+        bpg -= 1
+    grid = (num_blocks // bpg,)
     out = pl.pallas_call(
-        functools.partial(_hist_kernel, r=r, group=group, rows=rows),
+        functools.partial(_hist_kernel, r=r, group=group, rows=rows, bpg=bpg),
         grid=grid,
-        in_specs=[pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+        in_specs=[pl.BlockSpec((bpg, rows, LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, naccs, 4), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((bpg, naccs, 4), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((num_blocks, naccs, 4), jnp.uint32),
         interpret=interpret,

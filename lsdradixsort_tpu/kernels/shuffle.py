@@ -35,7 +35,8 @@ def _shuffle_kernel(src_ref, dst_ref, len_ref, x_hbm, o_hbm, sems,
                     *, runs_per_step: int, total_runs: int,
                     in_rows: int, out_rows: int):
     step = pl.program_id(0)
-    base = step * runs_per_step
+    base = step * runs_per_step  # refs are per-step (8, rps//8) SMEM slices
+    cols = runs_per_step // 8
     max_bits = min(MAX_LEN_BITS, min(in_rows, out_rows).bit_length() - 1)
 
     # one wave per length-bit so every in-flight DMA has the same static size
@@ -43,18 +44,17 @@ def _shuffle_kernel(src_ref, dst_ref, len_ref, x_hbm, o_hbm, sems,
         size = 1 << bit
 
         def wave(i, _, bit=bit, size=size):
-            r = base + i
-            valid = jnp.logical_and(r < total_runs,
-                                    (len_ref[r] & size) != 0)
+            valid = jnp.logical_and(base + i < total_runs,
+                                    (len_ref[i // cols, i % cols] & size) != 0)
 
             @pl.when(valid)
             def _():
-                ln = len_ref[r]
+                ln = len_ref[i // cols, i % cols]
                 # chunk for this bit starts after all higher-bit chunks
                 off = (ln >> (bit + 1)) << (bit + 1)
                 dma = pltpu.make_async_copy(
-                    x_hbm.at[pl.ds(src_ref[r] + off, size), :],
-                    o_hbm.at[pl.ds(dst_ref[r] + off, size), :],
+                    x_hbm.at[pl.ds(src_ref[i // cols, i % cols] + off, size), :],
+                    o_hbm.at[pl.ds(dst_ref[i // cols, i % cols] + off, size), :],
                     sems.at[i % DEPTH],
                 )
                 dma.start()
@@ -70,12 +70,12 @@ def _shuffle_kernel_pipelined(src_ref, dst_ref, len_ref, x_hbm, o_hbm, sems,
     chunk-sized DMAs with DEPTH outstanding."""
     step = pl.program_id(0)
     base = step * runs_per_step
+    cols = runs_per_step // 8
 
     def mkdma(i):
-        r = base + i
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(src_ref[r], chunk_rows), :],
-            o_hbm.at[pl.ds(dst_ref[r], chunk_rows), :],
+            x_hbm.at[pl.ds(src_ref[i // cols, i % cols], chunk_rows), :],
+            o_hbm.at[pl.ds(dst_ref[i // cols, i % cols], chunk_rows), :],
             sems.at[i % DEPTH],
         )
 
@@ -123,17 +123,30 @@ def shuffle_row_runs(x: jax.Array, src_rows: jax.Array, dst_rows: jax.Array,
         kern = functools.partial(_shuffle_kernel, runs_per_step=runs_per_step,
                                  total_runs=nruns, in_rows=x.shape[0],
                                  out_rows=out_rows)
+    # pad the run tables to a grid multiple and slice one step's worth into
+    # SMEM per grid step (full tables can exceed the 1 MB SMEM budget)
+    padded = grid[0] * runs_per_step
+    pad = padded - nruns
+    if runs_per_step % 8:
+        raise ValueError("runs_per_step must be a multiple of 8")
+    cols = runs_per_step // 8
+
+    def _prep(a):
+        a = a.astype(jnp.int32)
+        if pad:
+            a = jnp.pad(a, (0, pad))
+        # (8, cols) SMEM blocks satisfy the (8,·)-divisibility rule
+        return a.reshape(grid[0] * 8, cols)
+    run_spec = pl.BlockSpec((8, cols), lambda i: (i, 0),
+                            memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.SMEM),
+        in_specs=[run_spec, run_spec, run_spec,
                   pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((out_rows, LANES), jnp.uint32),
         scratch_shapes=[pltpu.SemaphoreType.DMA((DEPTH,))],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(src_rows.astype(jnp.int32), dst_rows.astype(jnp.int32),
-      run_rows.astype(jnp.int32), x)
+    )(_prep(src_rows), _prep(dst_rows), _prep(run_rows), x)

@@ -151,3 +151,13 @@ def test_hash_join_all_match_duplicated_probes(rng):
     assert int(count) == 500
     check_arrays(np.asarray(jk), pk, "dup join keys")
     check_arrays(np.asarray(jbv), pk + 100, "dup join build vals")
+
+
+def test_sort_with_ranks_matches_stable_argsort():
+    from lsdradixsort_tpu.ops.sort import sort_with_ranks
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 50, 4096, dtype=np.uint64).astype(np.uint32)
+    sk, perm = sort_with_ranks(jnp.asarray(keys))
+    want = np.argsort(keys, kind="stable").astype(np.uint32)
+    np.testing.assert_array_equal(np.asarray(perm), want)
+    np.testing.assert_array_equal(np.asarray(sk), keys[want])

@@ -57,7 +57,7 @@ def test_shuffle_row_runs_fixed():
     dst = (nch - 1 - np.arange(nch, dtype=np.int32)) * 8
     out = shuffle_row_runs(jnp.asarray(x), jnp.asarray(src), jnp.asarray(dst),
                            jnp.full(nch, 8, jnp.int32), out_rows=rows,
-                           runs_per_step=4, fixed_rows=8)
+                           runs_per_step=8, fixed_rows=8)
     want = np.concatenate([x[i * 8:(i + 1) * 8] for i in range(nch - 1, -1, -1)])
     np.testing.assert_array_equal(np.asarray(out), want)
 
@@ -74,6 +74,6 @@ def test_shuffle_row_runs_variable():
         dst[r] = acc
         acc += lens[r]
     out = shuffle_row_runs(jnp.asarray(x), jnp.asarray(src), jnp.asarray(dst),
-                           jnp.asarray(lens), out_rows=rows, runs_per_step=4)
+                           jnp.asarray(lens), out_rows=rows, runs_per_step=8)
     want = np.concatenate([x[src[r]:src[r] + lens[r]] for r in order])
     np.testing.assert_array_equal(np.asarray(out), want)
