@@ -207,15 +207,18 @@ def suite_scan(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
     n = 1 << n_log2
     a = datagen.random_keys(n)
     out = []
+    from lsdradixsort_tpu.kernels.scan import exclusive_scan_hierarchical
     rows_options = (128, 256, 512, 1024) if sweep else (512,)
     for rows in rows_options:
-        fn = jax.jit(lambda x, rows=rows: exclusive_scan(x, block_rows=rows))
-        ver = None
-        if verify:
-            a_np = np.asarray(a)
-            ver = lambda f=fn: check_arrays(f(a), golden.prefix_sum(a_np))
-        out.append(_bench("scan", {"n": n, "block_rows": rows}, fn, (a,), n,
-                          bytes_moved=8 * n, verify=ver))
+        for name, kern in (("scan/carry", exclusive_scan),
+                           ("scan/hier", exclusive_scan_hierarchical)):
+            fn = jax.jit(lambda x, k=kern, rows=rows: k(x, block_rows=rows))
+            ver = None
+            if verify:
+                a_np = np.asarray(a)
+                ver = lambda f=fn: check_arrays(f(a), golden.prefix_sum(a_np))
+            out.append(_bench(name, {"n": n, "block_rows": rows}, fn, (a,),
+                              n, bytes_moved=8 * n, verify=ver))
     return out
 
 
@@ -248,22 +251,53 @@ def suite_query(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
     keys = datagen.random_keys_bounded(n, 0, 1 << 20, seed=1)
     vals = jnp.arange(n, dtype=jnp.uint32)
     out = []
-    ffn = jax.jit(lambda k, v: filter_kv(k, v, jnp.uint32(1 << 18),
-                                         jnp.uint32(1 << 19)))
+    from lsdradixsort_tpu import golden
+    lo, hi = jnp.uint32(1 << 18), jnp.uint32(1 << 19)
+    ffn = jax.jit(lambda k, v: filter_kv(k, v, lo, hi))
+    fver = None
+    if verify:
+        k_np, v_np = np.asarray(keys), np.asarray(vals)
+        def fver():
+            cnt, fk, fv = ffn(keys, vals)
+            mask = (k_np >= (1 << 18)) & (k_np < (1 << 19))
+            wk, wv = k_np[mask], v_np[mask]
+            assert int(cnt) == wk.size
+            check_arrays(fk[:wk.size], wk)
+            check_arrays(fv[:wk.size], wv)
     out.append(_bench("query/filter", {"n": n}, ffn, (keys, vals), n,
-                      bytes_moved=16 * n))
+                      bytes_moved=16 * n, verify=fver))
     gfn = jax.jit(group_by_sum)
+    gver = None
+    if verify:
+        k_np, v_np = np.asarray(keys), np.asarray(vals)
+        def gver():
+            cnt, uk, sums = gfn(keys, vals)
+            wk, ws = golden.group_by_sum(k_np, v_np)
+            assert int(cnt) == wk.size
+            check_arrays(uk[:wk.size], wk)
+            check_arrays(sums[:wk.size], ws)
     out.append(_bench("query/group_by_sum", {"n": n}, gfn, (keys, vals), n,
-                      bytes_moved=16 * n))
+                      bytes_moved=16 * n, verify=gver))
     nb = max(n // 10, 1)
     bkeys = jax.random.permutation(
         jax.random.PRNGKey(2), jnp.arange(nb, dtype=jnp.uint32))
     bvals = bkeys * jnp.uint32(3)
     pkeys = datagen.random_keys_bounded(n, 0, 2 * nb, seed=3)
     jfn = jax.jit(hash_join)
+    jver = None
+    if verify:
+        bk_np, bv_np = np.asarray(bkeys), np.asarray(bvals)
+        pk_np, pv_np = np.asarray(pkeys), np.asarray(vals)
+        def jver():
+            cnt, jk, jpv, jbv = jfn(bkeys, bvals, pkeys, vals)
+            wk, wpv, wbv = golden.hash_join(bk_np, bv_np, pk_np, pv_np)
+            assert int(cnt) == wk.size
+            check_arrays(jk[:wk.size], wk)
+            check_arrays(jpv[:wk.size], wpv)
+            check_arrays(jbv[:wk.size], wbv)
     out.append(_bench("query/hash_join", {"build": nb, "probe": n}, jfn,
                       (bkeys, bvals, pkeys, vals), n,
-                      bytes_moved=8 * (n + nb) + 24 * n))
+                      bytes_moved=8 * (n + nb) + 24 * n, verify=jver))
     return out
 
 

@@ -113,6 +113,64 @@ def exclusive_scan(x: jax.Array, block_rows: int = 512,
     return out.reshape(padded)[:n]
 
 
+def _block_totals_kernel(x_ref, sums_ref):
+    sums_ref[...] = jnp.sum(_signed(x_ref[0]))[None, None, None].astype(
+        sums_ref.dtype)
+
+
+def _scan_fixup_kernel(x_ref, off_ref, out_ref):
+    excl, _ = _tile_exclusive_scan(x_ref[0])
+    out_ref[...] = (excl + _signed(off_ref[0, 0]))[None].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def exclusive_scan_hierarchical(x: jax.Array, block_rows: int = 512,
+                                interpret: bool | None = None) -> jax.Array:
+    """Exclusive prefix sum via the reference's hierarchical decomposition
+    (GPUPrefixSum, cu:265-302), TPU-shaped: (1) per-block totals (pure-read
+    pass, fully pipelined), (2) tiny top-level scan in XLA, (3) per-block
+    scan + offset add (independent steps, fully pipelined).
+
+    Unlike the grid-sequential carry scan, no step depends on the previous
+    one, so the Pallas pipeline overlaps DMA with compute across the whole
+    grid: ~2x faster at 2^27 despite moving 3n instead of 2n bytes.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    n = x.shape[0]
+    dtype = x.dtype
+    block = block_rows * LANES
+    padded = -(-n // block) * block
+    if padded != n:
+        x = jnp.pad(x, (0, padded - n))
+    num_blocks = padded // block
+    x3 = x.reshape(num_blocks, block_rows, LANES)
+    sums = pl.pallas_call(
+        _block_totals_kernel,
+        grid=(num_blocks,),
+        in_specs=[pl.BlockSpec((1, block_rows, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((num_blocks, 1, 1), dtype),
+        interpret=interpret,
+    )(x3).reshape(num_blocks)
+    offsets = (jnp.cumsum(sums, dtype=dtype) - sums).reshape(num_blocks, 1, 1)
+    out = pl.pallas_call(
+        _scan_fixup_kernel,
+        grid=(num_blocks,),
+        in_specs=[pl.BlockSpec((1, block_rows, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, block_rows, LANES), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x3.shape, dtype),
+        interpret=interpret,
+    )(x3, offsets)
+    return out.reshape(padded)[:n]
+
+
 def _block_scan_kernel(x_ref, out_ref, sums_ref):
     excl, total = _tile_exclusive_scan(x_ref[0])
     out_ref[...] = excl[None].astype(out_ref.dtype)

@@ -42,9 +42,10 @@ def group_by_aggregate(group_keys: jax.Array, values: jax.Array,
                        reduction: str = "sum"):
     """GROUP BY with reduction in {"sum", "min", "max", "count"}."""
     n = group_keys.shape[0]
-    sk, sv = sort_kv(group_keys, values)
-    is_last = jnp.concatenate([sk[1:] != sk[:-1],
-                               jnp.ones((1,), dtype=bool)])
+    if reduction in ("sum", "count"):
+        sk, sv = sort_kv(group_keys, values)
+        is_last = jnp.concatenate([sk[1:] != sk[:-1],
+                                   jnp.ones((1,), dtype=bool)])
     if reduction == "sum":
         csum = jnp.cumsum(sv, dtype=sv.dtype)           # modular wraparound
         agg_at_last = csum                                # diff taken post-compact
@@ -62,20 +63,18 @@ def group_by_aggregate(group_keys: jax.Array, values: jax.Array,
         prev = jnp.concatenate([-jnp.ones((1,), jnp.uint32), run_end_pos[:-1]])
         return count, uk, run_end_pos - prev
     if reduction in ("min", "max"):
-        # within a sorted run, min/max via cummax/cummin reset at boundaries:
-        # use segmented trick — runs are contiguous, so a run's min/max is a
-        # reduction over [start, end]; implement via cummax of (value,
-        # boundary-reset) with associative_scan
-        is_first = jnp.concatenate([jnp.ones((1,), dtype=bool),
-                                    sk[1:] != sk[:-1]])
-        op = jnp.minimum if reduction == "min" else jnp.maximum
-
-        def combine(a, b):
-            va, fa = a
-            vb, fb = b
-            return jnp.where(fb, vb, op(va, vb)), fa | fb
-
-        seg_vals, _ = jax.lax.associative_scan(combine, (sv, is_first))
-        count, uk, agg = compact(is_last, sk, seg_vals)
+        # re-sort by (key, value): a run's min is then its FIRST value and
+        # its max its LAST — no segmented scan needed (associative_scan
+        # compiles pathologically at >=2^24 on TPU)
+        sk2, sv2 = jax.lax.sort((group_keys, values), num_keys=2,
+                                is_stable=False)
+        if reduction == "min":
+            is_head = jnp.concatenate([jnp.ones((1,), dtype=bool),
+                                       sk2[1:] != sk2[:-1]])
+            count, uk, agg = compact(is_head, sk2, sv2)
+        else:
+            is_tail = jnp.concatenate([sk2[1:] != sk2[:-1],
+                                       jnp.ones((1,), dtype=bool)])
+            count, uk, agg = compact(is_tail, sk2, sv2)
         return count, uk, agg
     raise ValueError(f"unknown reduction {reduction!r}")

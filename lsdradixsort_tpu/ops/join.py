@@ -42,17 +42,19 @@ def hash_join(build_keys: jax.Array, build_vals: jax.Array,
     sk, stag, sbval, spval, sppos = jax.lax.sort(
         (keys, tag, bval, pval, ppos), num_keys=2, is_stable=False)
 
-    # segmented broadcast of the run head (the build row, tag 0 sorts first)
-    is_first = jnp.concatenate([jnp.ones((1,), dtype=bool), sk[1:] != sk[:-1]])
-    head_is_build = stag == 0
-
-    def combine(a, b):
-        av, ah, af = a
-        bv, bh, bf = b
-        return (jnp.where(bf, bv, av), jnp.where(bf, bh, ah), af | bf)
-
-    seg_bval, seg_hit, _ = jax.lax.associative_scan(
-        combine, (sbval, head_is_build, is_first))
+    # Broadcast each build row's value to the probe rows of its key.
+    # jax.lax.associative_scan compiles pathologically at >=2^24 on TPU, so
+    # use cummax of build positions + two gathers instead: the last build
+    # row at-or-before i is mine iff its key equals mine (build keys are
+    # unique, and build rows sort before probes of the same key).
+    n = sk.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    q = jnp.where(stag == 0, iota + 1, 0)
+    p1 = jax.lax.cummax(q)                      # 1 + last build pos, 0 if none
+    has_build = p1 > 0
+    p = jnp.maximum(p1 - 1, 0)
+    seg_bval = sbval[p]
+    seg_hit = has_build & (sk[p] == sk)
 
     matched = (stag == 1) & seg_hit
     count, mk, mpv, mbv, mpp = compact(matched, sk, spval, seg_bval, sppos)

@@ -155,17 +155,18 @@ def _dist_join_shard(keys, tag, bval, pval, ppos, src, ranks, axis, n_total):
         src=src)
 
     me = jax.lax.axis_index(axis)
-    # within-shard segmented broadcast of the run-head build value
-    is_first = jnp.concatenate([jnp.ones((1,), bool), sk[1:] != sk[:-1]])
+    # within-shard broadcast of each build row's value to its key's probe
+    # rows: cummax of build positions + two gathers (associative_scan
+    # compiles pathologically at >=2^24 on TPU; build keys unique and
+    # build rows sort before probes of the same key)
+    nl = sk.shape[0]
+    iota = jnp.arange(nl, dtype=jnp.int32)
+    q = jnp.where(stag == jnp.uint32(0), iota + 1, 0)
+    p1 = jax.lax.cummax(q)
+    p = jnp.maximum(p1 - 1, 0)
+    seg_bval = sbval[p]
+    seg_hit = (p1 > 0) & (sk[p] == sk)
     head_is_build = stag == jnp.uint32(0)
-
-    def combine(a, b):
-        av, ah, af = a
-        bv, bh, bf = b
-        return (jnp.where(bf, bv, av), jnp.where(bf, bh, ah), af | bf)
-
-    seg_bval, seg_hit, _ = jax.lax.associative_scan(
-        combine, (sbval, head_is_build, is_first))
 
     head_key, tail_key = sk[0], sk[-1]
     h_key = jax.lax.all_gather(head_key, axis)   # (D,)

@@ -74,3 +74,12 @@ def test_transpose_vs_golden(rng):
     check_arrays(transpose(jnp.asarray(a)), golden.transpose(a), "xla T")
     check_arrays(transpose_tiled(jnp.asarray(a.astype(np.int32)), tile=128),
                  golden.transpose(a.astype(np.int32)), "pallas T")
+
+
+@pytest.mark.parametrize("n", [128 * 128, 128 * 1000 + 17])
+def test_exclusive_scan_hierarchical(n):
+    from lsdradixsort_tpu.kernels.scan import exclusive_scan_hierarchical
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    got = exclusive_scan_hierarchical(jnp.asarray(x), block_rows=8)
+    np.testing.assert_array_equal(np.asarray(got), golden.prefix_sum(x))
