@@ -9,8 +9,9 @@ pointer-chasing hash table (TPU has no efficient random access):
      the build row with the same key, if any;
   3. a segmented "broadcast first row of each key-run" scan propagates the
      build value (and a hit flag) to all probe rows of that key;
-  4. compact the probe hits and re-sort them by original probe position,
-     so output order matches the golden model (probe order) bit-exactly.
+  4. one final sort keyed by (matched ? probe position : sentinel)
+     compacts the hits to the front in probe order, matching the golden
+     model bit-exactly.
 
 Build keys must be unique (primary-key join), as in the golden oracle.
 Output arrays are full probe length; the first `count` rows are valid.
@@ -19,8 +20,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-
-from lsdradixsort_tpu.ops.filter import compact
 
 
 @jax.jit
@@ -57,14 +56,12 @@ def hash_join(build_keys: jax.Array, build_vals: jax.Array,
     seg_hit = has_build & (sk[p] == sk)
 
     matched = (stag == 1) & seg_hit
-    count, mk, mpv, mbv, mpp = compact(matched, sk, spval, seg_bval, sppos)
-    # restore probe order among the matches; unmatched tail (position keys
-    # are unique) sinks behind because compact left it after the matches and
-    # we re-sort with position as primary key only within the full array —
-    # give unmatched rows a +2^31 offset so they stay behind.
-    order_key = jnp.where(jnp.arange(mk.shape[0], dtype=jnp.uint32)
-                          < count, mpp, mpp + jnp.uint32(0x80000000))
-    _, ok, opv, obv = jax.lax.sort((order_key, mk, mpv, mbv), num_keys=1,
-                                   is_stable=False)
+    count = jnp.sum(matched.astype(jnp.uint32))
+    # compact matches to the front in probe order with ONE sort: matched
+    # rows keyed by their (unique) probe position, everything else keyed
+    # past the probe range
+    order_key = jnp.where(matched, sppos, jnp.uint32(0xFFFFFFFF))
+    _, ok, opv, obv = jax.lax.sort((order_key, sk, spval, seg_bval),
+                                   num_keys=1, is_stable=False)
     # outputs are probe-length: matches (<= np_) sorted to the front
     return count, ok[:np_], opv[:np_], obv[:np_]

@@ -83,6 +83,21 @@ def argsort(keys: jax.Array) -> jax.Array:
     return perm
 
 
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def sort_blocks_kv(keys: jax.Array, values: jax.Array,
+                   block_size: int = 1 << 14):
+    """Stable kv sort within each `block_size` block (Pallas bitonic).
+
+    The user-facing form of the reference's block-local sort
+    (TestLSDBinaryRadixSort, cu:423-477) — a partial-sort primitive for
+    windowed/segmented query plans. block_size must be a power of two
+    multiple of 128; n a multiple of block_size. Runs entirely in VMEM:
+    967 Melem/s at 16K blocks on v5e (BENCHMARKS.md).
+    """
+    from lsdradixsort_tpu.kernels.tile_sort import sort_tiles_kv
+    return sort_tiles_kv(keys, values, tile_rows=block_size // 128)
+
+
 def _stable_sort_kv_xla(keys, values):
     """Stable kv sort via an injected unique iota tiebreak + unstable 2-key
     sort — bit-identical to is_stable=True and never slower (measured equal
