@@ -21,6 +21,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from lsdradixsort_tpu.kernels.fill_forward import fill_forward_last
+
 
 @jax.jit
 def hash_join(build_keys: jax.Array, build_vals: jax.Array,
@@ -41,19 +43,14 @@ def hash_join(build_keys: jax.Array, build_vals: jax.Array,
     sk, stag, sbval, spval, sppos = jax.lax.sort(
         (keys, tag, bval, pval, ppos), num_keys=2, is_stable=False)
 
-    # Broadcast each build row's value to the probe rows of its key.
-    # jax.lax.associative_scan compiles pathologically at >=2^24 on TPU, so
-    # use cummax of build positions + two gathers instead: the last build
+    # Broadcast each build row's value to the probe rows of its key via the
+    # Pallas fill-forward kernel (kernels/fill_forward.py): the last build
     # row at-or-before i is mine iff its key equals mine (build keys are
-    # unique, and build rows sort before probes of the same key).
-    n = sk.shape[0]
-    iota = jnp.arange(n, dtype=jnp.int32)
-    q = jnp.where(stag == 0, iota + 1, 0)
-    p1 = jax.lax.cummax(q)                      # 1 + last build pos, 0 if none
-    has_build = p1 > 0
-    p = jnp.maximum(p1 - 1, 0)
-    seg_bval = sbval[p]
-    seg_hit = has_build & (sk[p] == sk)
+    # unique, and build rows sort before probes of the same key). The XLA
+    # spellings are unusable: associative_scan compiles pathologically at
+    # >=2^24 rows, cummax+gather costs ~15 ns/row vs ~0.4 ns here.
+    bk_fill, seg_bval, has_build = fill_forward_last(stag == 0, sk, sbval)
+    seg_hit = (has_build == 1) & (bk_fill == sk)
 
     matched = (stag == 1) & seg_hit
     count = jnp.sum(matched.astype(jnp.uint32))

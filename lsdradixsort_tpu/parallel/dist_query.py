@@ -33,6 +33,7 @@ from jax import shard_map
 
 from lsdradixsort_tpu.parallel.mesh import DATA_AXIS
 from lsdradixsort_tpu.parallel.dist_sort import _dist_sort_shard
+from lsdradixsort_tpu.kernels.fill_forward import fill_forward_last
 
 
 def _chain_correction(t_key, h_key, h_sum, full, me, d):
@@ -156,16 +157,11 @@ def _dist_join_shard(keys, tag, bval, pval, ppos, src, ranks, axis, n_total):
 
     me = jax.lax.axis_index(axis)
     # within-shard broadcast of each build row's value to its key's probe
-    # rows: cummax of build positions + two gathers (associative_scan
-    # compiles pathologically at >=2^24 on TPU; build keys unique and
-    # build rows sort before probes of the same key)
-    nl = sk.shape[0]
-    iota = jnp.arange(nl, dtype=jnp.int32)
-    q = jnp.where(stag == jnp.uint32(0), iota + 1, 0)
-    p1 = jax.lax.cummax(q)
-    p = jnp.maximum(p1 - 1, 0)
-    seg_bval = sbval[p]
-    seg_hit = (p1 > 0) & (sk[p] == sk)
+    # rows via the Pallas fill-forward kernel (build keys unique; build rows
+    # sort before probes of the same key)
+    bk_fill, seg_bval, has_build = fill_forward_last(
+        stag == jnp.uint32(0), sk, sbval)
+    seg_hit = (has_build == jnp.uint32(1)) & (bk_fill == sk)
     head_is_build = stag == jnp.uint32(0)
 
     head_key, tail_key = sk[0], sk[-1]
@@ -256,9 +252,11 @@ def dist_join(build_keys: jax.Array, build_vals: jax.Array,
         return _dist_join_shard(keys, tag, bval, pval, ppos, src, ranks,
                                 axis, n)
 
+    # check_vma=False: the Pallas fill-forward call inside the shard body
+    # cannot annotate varying-mesh-axes on its out_shapes
     return shard_map(shard_fn, mesh=mesh,
                      in_specs=(P(axis),) * 4,
-                     out_specs=(P(axis),) * 5)(
+                     out_specs=(P(axis),) * 5, check_vma=False)(
         build_keys, build_vals, probe_keys, probe_vals)
 
 

@@ -83,3 +83,26 @@ def test_exclusive_scan_hierarchical(n):
     x = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
     got = exclusive_scan_hierarchical(jnp.asarray(x), block_rows=8)
     np.testing.assert_array_equal(np.asarray(got), golden.prefix_sum(x))
+
+
+@pytest.mark.parametrize("n", [128 * 16, 128 * 40 + 55])
+def test_fill_forward_last(n):
+    from lsdradixsort_tpu.kernels.fill_forward import fill_forward_last
+    rng = np.random.default_rng(7)
+    flag = rng.random(n) < 0.05
+    key = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    val = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    ok, ov, ovalid = fill_forward_last(jnp.asarray(flag), jnp.asarray(key),
+                                       jnp.asarray(val), tile_rows=8)
+    wk = np.zeros(n, np.uint32)
+    wv = np.zeros(n, np.uint32)
+    wvalid = np.zeros(n, np.uint32)
+    ck = cv = np.uint32(0)
+    cval = 0
+    for i in range(n):
+        if flag[i]:
+            ck, cv, cval = key[i], val[i], 1
+        wk[i], wv[i], wvalid[i] = ck, cv, cval
+    np.testing.assert_array_equal(np.asarray(ovalid), wvalid)
+    np.testing.assert_array_equal(np.asarray(ok) * wvalid, wk * wvalid)
+    np.testing.assert_array_equal(np.asarray(ov) * wvalid, wv * wvalid)
