@@ -301,6 +301,47 @@ def suite_query(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
     return out
 
 
+def suite_dist(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
+    """Distributed kv-sort over all local devices (north-star config 5).
+
+    On a multi-chip slice this measures scaling efficiency vs the 1-chip
+    flagship; on one chip it exercises the full shard_map path at D=1.
+    Reports per-shard balance (exact by construction — equal-key rank
+    splitting keeps shards balanced under any skew).
+    """
+    from lsdradixsort_tpu.parallel import make_mesh, shard_1d, dist_sort_kv
+    from lsdradixsort_tpu.ops.sort import sort_with_ranks
+    d = len(jax.devices())
+    if d == 1:
+        # D=1 exercises the path but XLA's buffer assignment for the
+        # degenerate collective program is memory-hungry; cap the size
+        n_log2 = min(n_log2, 22)
+    n = 1 << n_log2
+    mesh = make_mesh(d)
+    keys = datagen.random_keys(n)
+    vals = jnp.arange(n, dtype=jnp.uint32)
+    sk = shard_1d(keys, mesh)
+    sv = shard_1d(vals, mesh)
+    fn = jax.jit(lambda k, v: dist_sort_kv(k, v, mesh))
+    ver = None
+    if verify:
+        keys_np = np.asarray(keys)
+        perm = np.argsort(keys_np, kind="stable")
+        def ver():
+            ok, ov = fn(sk, sv)
+            check_arrays(ok, keys_np[perm])
+            check_arrays(ov, perm.astype(np.uint32))
+    out = [_bench("dist/sort_kv", {"n": n, "devices": d}, fn, (sk, sv), n,
+                  bytes_moved=16 * n, verify=ver)]
+    # single-device reference for scaling efficiency
+    t1 = time_fn(sort_with_ranks, keys, iters=3)
+    rec = out[0]
+    eff = (t1.seconds / rec.device_ms * 1e3) / d
+    print(f"# scaling efficiency vs 1-device sort_with_ranks: "
+          f"{100 * eff:.1f}% at D={d}")
+    return out
+
+
 SUITES: dict[str, Callable] = {
     "sort": suite_sort,
     "tile_sort": suite_tile_sort,
@@ -309,6 +350,7 @@ SUITES: dict[str, Callable] = {
     "scan": suite_scan,
     "transpose": suite_transpose,
     "query": suite_query,
+    "dist": suite_dist,
 }
 
 
