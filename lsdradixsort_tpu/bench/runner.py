@@ -114,6 +114,19 @@ def suite_sort(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
             check_arrays(sv, perm.astype(np.uint32))
     out.append(_bench("sort/kv", {"n": n}, fkv, (keys, vals), n,
                       bytes_moved=16 * n, verify=vkv))
+    if sweep:
+        # the composed LSD radix pipeline (histogram -> scans -> scatter,
+        # the reference's pass structure) — correctness scaffold; XLA's
+        # scatter keeps it off the fast path (ROADMAP.md §1)
+        nc = min(n, 1 << 24)
+        ckeys = keys[:nc]
+        cfn = jax.jit(lambda k: sort(k, strategy="composed"))
+        cver = None
+        if verify:
+            ck_np = np.asarray(ckeys)
+            cver = lambda: check_arrays(cfn(ckeys), np.sort(ck_np))
+        out.append(_bench("sort/composed_r8", {"n": nc}, cfn, (ckeys,), nc,
+                          bytes_moved=8 * nc, verify=cver, iters=2))
     return out
 
 
