@@ -93,7 +93,6 @@ def suite_sort(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
     if native.available():
         # host baseline: the reference's CPU-golden timing (cu:984-990)
         keys_np = np.asarray(keys)
-        tmp = np.empty_like(keys_np)
         host_fn = lambda: native.radix_sort(keys_np)
         host_args = ()
     if verify:

@@ -121,3 +121,19 @@ def test_join_probe_before_and_after_build_shard(mesh):
                          np.full(npr // 2, 7, np.uint32)])
     pv = rng.integers(0, 100, npr).astype(np.uint32)
     _check_join(mesh, bk, bv, pk, pv)
+
+
+@pytest.mark.parametrize("d", [2, 4])
+def test_group_by_and_join_small_meshes(d):
+    m = make_mesh(d)
+    rng = np.random.default_rng(d)
+    n = 1 << 10
+    keys = rng.integers(0, 50, n, dtype=np.uint64).astype(np.uint32)
+    vals = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    _check_group_by(m, keys, vals)
+    nb = 64
+    bk = rng.permutation(128)[:nb].astype(np.uint32)
+    bv = rng.integers(0, 2**32, nb, dtype=np.uint64).astype(np.uint32)
+    pk = rng.integers(0, 128, n, dtype=np.uint64).astype(np.uint32)
+    pv = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    _check_join(m, bk, bv, pk, pv)
