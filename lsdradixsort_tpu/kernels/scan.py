@@ -53,14 +53,41 @@ def _cumsum(x, axis: int):
     return x
 
 
+def _cumsum_lanes_mxu(x):
+    """Inclusive lane cumsum of int32 (rows, 128) on the MXU, exact mod 2^32.
+
+    Split into 8-bit planes (int8 matmul accumulates in int32 — exact
+    integer arithmetic; f32 matmul is NOT bit-exact on TPU, it lowers to
+    bf16 passes), multiply each by an upper-triangular ones matrix,
+    recombine with wrapping int32 adds. Replaces 7 masked-roll VPU steps —
+    the scan goes from VPU-bound toward HBM-bound.
+    """
+    rows, lanes = x.shape
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 0) <=
+           jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 1)
+           ).astype(jnp.int8)
+    # byte planes are 0..255; int8 holds -128..127, so shift by -128 and add
+    # the closed-form correction 128 * (lane_index + 1) back after the matmul
+    corr = 128 * (jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1) + 1)
+    out = jnp.zeros((rows, lanes), jnp.int32)
+    for b in range(4):
+        plane = (((x >> (8 * b)) & 0xFF) - 128).astype(jnp.int8)
+        c = jax.lax.dot_general(plane, tri, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        out = out + ((c + corr) << (8 * b))
+    return out
+
+
 def _tile_exclusive_scan(tile):
     """Exclusive scan of a (rows, 128) tile in row-major element order.
 
     Returns (scanned_tile, tile_total) in the signed view of tile.dtype.
     """
     tile = _signed(tile)
-    incl = _cumsum(tile, axis=1)                                # within rows
+    incl = _cumsum_lanes_mxu(tile)                              # within rows
     row_tot = incl[:, -1:]                                      # (rows, 1)
+    # note: reshaping (rows,1) through (rows/128,128) to reuse the MXU path
+    # fails Mosaic layout inference ("unsupported shape cast"); keep rolls
     row_off = _cumsum(row_tot, axis=0) - row_tot
     excl = incl - tile + row_off                                # exclusive
     total = row_off[-1:, :] + row_tot[-1:, :]                   # (1, 1)
@@ -113,14 +140,16 @@ def exclusive_scan(x: jax.Array, block_rows: int = 512,
     return out.reshape(padded)[:n]
 
 
-def _block_totals_kernel(x_ref, sums_ref):
-    sums_ref[...] = jnp.sum(_signed(x_ref[0]))[None, None, None].astype(
-        sums_ref.dtype)
+def _block_totals_kernel(x_ref, sums_ref, *, bpg: int):
+    for b in range(bpg):
+        sums_ref[b] = jnp.sum(_signed(x_ref[b]))[None, None].astype(
+            sums_ref.dtype)
 
 
-def _scan_fixup_kernel(x_ref, off_ref, out_ref):
-    excl, _ = _tile_exclusive_scan(x_ref[0])
-    out_ref[...] = (excl + _signed(off_ref[0, 0]))[None].astype(out_ref.dtype)
+def _scan_fixup_kernel(x_ref, off_ref, out_ref, *, bpg: int):
+    for b in range(bpg):
+        excl, _ = _tile_exclusive_scan(x_ref[b])
+        out_ref[b] = (excl + _signed(off_ref[b, 0])).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
@@ -144,26 +173,30 @@ def exclusive_scan_hierarchical(x: jax.Array, block_rows: int = 512,
     if padded != n:
         x = jnp.pad(x, (0, padded - n))
     num_blocks = padded // block
+    # amortize the per-grid-step pipeline overhead: >=1 MB of data per step
+    bpg = max(1, (1 << 20) // (block * 4))
+    while num_blocks % bpg:
+        bpg -= 1
     x3 = x.reshape(num_blocks, block_rows, LANES)
     sums = pl.pallas_call(
-        _block_totals_kernel,
-        grid=(num_blocks,),
-        in_specs=[pl.BlockSpec((1, block_rows, LANES), lambda i: (i, 0, 0),
+        functools.partial(_block_totals_kernel, bpg=bpg),
+        grid=(num_blocks // bpg,),
+        in_specs=[pl.BlockSpec((bpg, block_rows, LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((bpg, 1, 1), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((num_blocks, 1, 1), dtype),
         interpret=interpret,
     )(x3).reshape(num_blocks)
     offsets = (jnp.cumsum(sums, dtype=dtype) - sums).reshape(num_blocks, 1, 1)
     out = pl.pallas_call(
-        _scan_fixup_kernel,
-        grid=(num_blocks,),
-        in_specs=[pl.BlockSpec((1, block_rows, LANES), lambda i: (i, 0, 0),
+        functools.partial(_scan_fixup_kernel, bpg=bpg),
+        grid=(num_blocks // bpg,),
+        in_specs=[pl.BlockSpec((bpg, block_rows, LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
+                  pl.BlockSpec((bpg, 1, 1), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, block_rows, LANES), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((bpg, block_rows, LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(x3.shape, dtype),
         interpret=interpret,
