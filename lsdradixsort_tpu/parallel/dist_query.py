@@ -54,15 +54,6 @@ def _chain_correction(t_key, h_key, h_sum, full, me, d):
                    dtype=h_sum.dtype)
 
 
-def _local_runs_sum(sk, sv):
-    """Per-run sums of a locally sorted shard via the cumsum-at-boundary
-    trick (ops/aggregate.py). Returns (is_last_local, run_sums_at_last)."""
-    csum = jnp.cumsum(sv, dtype=sv.dtype)
-    is_boundary = jnp.concatenate([sk[1:] != sk[:-1],
-                                   jnp.ones((1,), dtype=bool)])
-    return is_boundary, csum
-
-
 def _dist_group_by_sum_shard(keys, vals, ranks, axis, n_total):
     d = n_total // keys.shape[0]
     sk, sv = _dist_sort_shard(keys, (vals,), ranks, axis, n_total,
