@@ -290,6 +290,23 @@ def suite_query(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
             check_arrays(sums[:wk.size], ws)
     out.append(_bench("query/group_by_sum", {"n": n}, gfn, (keys, vals), n,
                       bytes_moved=16 * n, verify=gver))
+    from lsdradixsort_tpu.ops.aggregate import filtered_group_by_sum
+    gk2 = datagen.random_keys_bounded(n, 0, 1 << 10, seed=7)
+    qfn = jax.jit(lambda k, g, v: filtered_group_by_sum(
+        k, g, v, jnp.uint32(1 << 18), jnp.uint32(1 << 19)))
+    qver = None
+    if verify:
+        k_np = np.asarray(keys)
+        g_np, v_np = np.asarray(gk2), np.asarray(vals)
+        def qver():
+            cnt, uk, sums = qfn(keys, gk2, vals)
+            mask = (k_np >= (1 << 18)) & (k_np < (1 << 19))
+            wk, ws = golden.group_by_sum(g_np[mask], v_np[mask])
+            assert int(cnt) == wk.size
+            check_arrays(uk[:wk.size], wk)
+            check_arrays(sums[:wk.size], ws)
+    out.append(_bench("query/filtered_group_by (config 3)", {"n": n}, qfn,
+                      (keys, gk2, vals), n, bytes_moved=20 * n, verify=qver))
     nb = max(n // 10, 1)
     bkeys = jax.random.permutation(
         jax.random.PRNGKey(2), jnp.arange(nb, dtype=jnp.uint32))

@@ -78,3 +78,32 @@ def group_by_aggregate(group_keys: jax.Array, values: jax.Array,
             count, uk, agg = compact(is_tail, sk2, sv2)
         return count, uk, agg
     raise ValueError(f"unknown reduction {reduction!r}")
+
+
+@jax.jit
+def filtered_group_by_sum(keys: jax.Array, group_keys: jax.Array,
+                          values: jax.Array, lo, hi):
+    """BASELINE config 3 as one fused plan: SELECT group, SUM(value) WHERE
+    lo <= key < hi GROUP BY group.
+
+    Filtering is folded into the aggregation sort instead of materializing
+    a compacted intermediate: rejected rows get a sentinel group key that
+    sorts last and is excluded from the group count. One sort total.
+    Returns (num_groups, unique_group_keys_sorted, sums).
+    """
+    lo = jnp.asarray(lo, keys.dtype)
+    hi = jnp.asarray(hi, keys.dtype)
+    keep = (keys >= lo) & (keys < hi)
+    # sentinel 0xFFFFFFFF may collide with a real group key; disambiguate
+    # with a secondary sort key (0 = kept, 1 = rejected)
+    gk = jnp.where(keep, group_keys, jnp.uint32(0xFFFFFFFF))
+    tag = jnp.where(keep, jnp.uint32(0), jnp.uint32(1))
+    sk, stag, sv = jax.lax.sort((gk, tag, values), num_keys=2,
+                                is_stable=False)
+    kept = stag == 0
+    csum = jnp.cumsum(jnp.where(kept, sv, jnp.uint32(0)), dtype=sv.dtype)
+    is_last = jnp.concatenate([(sk[1:] != sk[:-1]) | (stag[1:] != stag[:-1]),
+                               jnp.ones((1,), bool)]) & kept
+    count, uk, run_end_csum = compact(is_last, sk, csum)
+    prev = jnp.concatenate([jnp.zeros((1,), sv.dtype), run_end_csum[:-1]])
+    return count, uk, run_end_csum - prev

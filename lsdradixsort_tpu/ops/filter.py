@@ -21,10 +21,15 @@ def compact(mask: jax.Array, *arrays):
     preserved (stable), matching the golden model bit-exactly on the first
     `count` rows.
     """
+    n = mask.shape[0]
     sort_key = jnp.where(mask, jnp.uint32(0), jnp.uint32(1))
-    out = jax.lax.sort((sort_key, *arrays), num_keys=1, is_stable=True)
+    # unstable 2-key sort with a unique iota tiebreak == stable 1-key sort,
+    # minus XLA's 1.4x is_stable tax (see ops/sort.py sort_with_ranks)
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
+    out = jax.lax.sort((sort_key, iota, *arrays), num_keys=2,
+                       is_stable=False)
     count = jnp.sum(mask, dtype=jnp.uint32)
-    return (count, *out[1:])
+    return (count, *out[2:])
 
 
 @jax.jit

@@ -262,3 +262,20 @@ def undistribute(counts, *arrays):
         outs.append(np.concatenate(
             [a[s * per: s * per + counts[s]] for s in range(d)]))
     return (int(counts.sum()),) + tuple(outs)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+def dist_filter_kv(keys: jax.Array, values: jax.Array, lo, hi, mesh: Mesh,
+                   axis: str = DATA_AXIS):
+    """Distributed range filter: embarrassingly parallel shard-local
+    compaction. Returns (counts, keys, values) ragged per shard (shard s's
+    valid rows at [s*n/D, s*n/D + counts[s])), original order preserved
+    within and across shards."""
+    from lsdradixsort_tpu.ops.filter import filter_kv
+
+    def shard_fn(k, v):
+        count, fk, fv = filter_kv(k, v, lo, hi)
+        return count.reshape(1), fk, fv
+
+    return shard_map(shard_fn, mesh=mesh, in_specs=(P(axis), P(axis)),
+                     out_specs=(P(axis), P(axis), P(axis)))(keys, values)

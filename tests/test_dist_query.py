@@ -137,3 +137,18 @@ def test_group_by_and_join_small_meshes(d):
     pk = rng.integers(0, 128, n, dtype=np.uint64).astype(np.uint32)
     pv = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
     _check_join(m, bk, bv, pk, pv)
+
+
+def test_dist_filter_kv(mesh):
+    from lsdradixsort_tpu.parallel.dist_query import dist_filter_kv
+    rng = np.random.default_rng(9)
+    n = 1 << 12
+    keys = rng.integers(0, 1000, n, dtype=np.uint64).astype(np.uint32)
+    vals = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    counts, fk, fv = dist_filter_kv(jnp.asarray(keys), jnp.asarray(vals),
+                                    100, 600, mesh=mesh)
+    total, ck, cv = undistribute(counts, fk, fv)
+    mask = (keys >= 100) & (keys < 600)
+    assert total == int(mask.sum())
+    np.testing.assert_array_equal(ck, keys[mask])
+    np.testing.assert_array_equal(cv, vals[mask])

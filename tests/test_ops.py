@@ -161,3 +161,35 @@ def test_sort_with_ranks_matches_stable_argsort():
     want = np.argsort(keys, kind="stable").astype(np.uint32)
     np.testing.assert_array_equal(np.asarray(perm), want)
     np.testing.assert_array_equal(np.asarray(sk), keys[want])
+
+
+def test_filtered_group_by_sum():
+    from lsdradixsort_tpu.ops.aggregate import filtered_group_by_sum
+    rng = np.random.default_rng(21)
+    n = 1 << 12
+    keys = rng.integers(0, 1000, n, dtype=np.uint64).astype(np.uint32)
+    gk = rng.integers(0, 37, n, dtype=np.uint64).astype(np.uint32)
+    vals = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    lo, hi = 200, 700
+    cnt, uk, sums = filtered_group_by_sum(
+        jnp.asarray(keys), jnp.asarray(gk), jnp.asarray(vals), lo, hi)
+    mask = (keys >= lo) & (keys < hi)
+    wk, ws = golden.group_by_sum(gk[mask], vals[mask])
+    assert int(cnt) == wk.size
+    np.testing.assert_array_equal(np.asarray(uk)[:wk.size], wk)
+    np.testing.assert_array_equal(np.asarray(sums)[:wk.size], ws)
+
+
+def test_filtered_group_by_sum_sentinel_group():
+    # a real group key equal to the sentinel must still aggregate correctly
+    from lsdradixsort_tpu.ops.aggregate import filtered_group_by_sum
+    keys = np.array([5, 5, 50, 50], np.uint32)
+    gk = np.array([0xFFFFFFFF, 1, 0xFFFFFFFF, 1], np.uint32)
+    vals = np.array([10, 20, 30, 40], np.uint32)
+    cnt, uk, sums = filtered_group_by_sum(
+        jnp.asarray(keys), jnp.asarray(gk), jnp.asarray(vals), 0, 100)
+    assert int(cnt) == 2
+    np.testing.assert_array_equal(np.asarray(uk)[:2],
+                                  np.array([1, 0xFFFFFFFF], np.uint32))
+    np.testing.assert_array_equal(np.asarray(sums)[:2],
+                                  np.array([60, 40], np.uint32))
