@@ -23,7 +23,6 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from lsdradixsort_tpu.ops.sort import sort_kv
 from lsdradixsort_tpu.ops.filter import compact
 
 
@@ -42,16 +41,20 @@ def group_by_aggregate(group_keys: jax.Array, values: jax.Array,
                        reduction: str = "sum"):
     """GROUP BY with reduction in {"sum", "min", "max", "count"}."""
     n = group_keys.shape[0]
-    if reduction in ("sum", "count"):
-        sk, sv = sort_kv(group_keys, values)
+    if reduction == "sum":
+        # modular sums are order-independent: no stability needed, so skip
+        # the iota tiebreak stream (1.1-1.4x on the dominant sort)
+        sk, sv = jax.lax.sort((group_keys, values), num_keys=1,
+                              is_stable=False)
+        is_last = jnp.concatenate([sk[1:] != sk[:-1],
+                                   jnp.ones((1,), dtype=bool)])
+    elif reduction == "count":
+        sk = jax.lax.sort(group_keys)
         is_last = jnp.concatenate([sk[1:] != sk[:-1],
                                    jnp.ones((1,), dtype=bool)])
     if reduction == "sum":
         csum = jnp.cumsum(sv, dtype=sv.dtype)           # modular wraparound
-        agg_at_last = csum                                # diff taken post-compact
-        count, uk, run_end_csum, run_end_pos = compact(
-            is_last, sk, agg_at_last,
-            jnp.arange(n, dtype=jnp.uint32))
+        count, uk, run_end_csum = compact(is_last, sk, csum)
         # order among run-ends is preserved, so consecutive compacted rows
         # are consecutive runs; subtract the previous run's cumsum
         prev = jnp.concatenate([jnp.zeros((1,), sv.dtype), run_end_csum[:-1]])
