@@ -388,9 +388,14 @@ def run_suite(name: str, n_log2: int = 24, verify: bool = False,
     names = list(SUITES) if name == "all" else [name]
     records = []
     for s in names:
-        for rec in SUITES[s](n_log2, verify, sweep):
-            print(rec.line(), flush=True)
-            records.append(rec)
+        try:
+            for rec in SUITES[s](n_log2, verify, sweep):
+                print(rec.line(), flush=True)
+                records.append(rec)
+        except Exception as e:  # keep the sweep going; reference skips
+            # infeasible configs the same way (cu:940-964)
+            print(f"[{s}] SUITE FAILED: {str(e).splitlines()[0][:120]}",
+                  flush=True)
     return records
 
 
