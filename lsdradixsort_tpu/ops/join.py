@@ -31,17 +31,19 @@ def hash_join(build_keys: jax.Array, build_vals: jax.Array,
     in probe order; rows past `count` are unspecified."""
     nb, np_ = build_keys.shape[0], probe_keys.shape[0]
     keys = jnp.concatenate([build_keys, probe_keys])
-    tag = jnp.concatenate([jnp.zeros((nb,), jnp.uint32),
-                           jnp.ones((np_,), jnp.uint32)])
-    # payload: build value where build row, probe position where probe row
-    bval = jnp.concatenate([build_vals,
-                            jnp.zeros((np_,), build_vals.dtype)])
-    pval = jnp.concatenate([jnp.zeros((nb,), probe_vals.dtype), probe_vals])
-    ppos = jnp.concatenate([jnp.zeros((nb,), jnp.uint32),
-                            jnp.arange(np_, dtype=jnp.uint32)])
+    # pack (tag, probe position) into one u32: bit 31 = tag (build 0,
+    # probe 1), low bits = row position — build/probe ordering per key
+    # comes free from the numeric order. A row is EITHER build or probe,
+    # so build value and probe value share one stream too: the main sort
+    # carries 3 streams instead of 5.
+    packed = jnp.concatenate([
+        jnp.arange(nb, dtype=jnp.uint32),
+        jnp.arange(np_, dtype=jnp.uint32) | jnp.uint32(0x80000000)])
+    val = jnp.concatenate([build_vals, probe_vals])
 
-    sk, stag, sbval, spval, sppos = jax.lax.sort(
-        (keys, tag, bval, pval, ppos), num_keys=2, is_stable=False)
+    sk, spacked, sval = jax.lax.sort((keys, packed, val), num_keys=2,
+                                     is_stable=False)
+    is_build = spacked < jnp.uint32(0x80000000)
 
     # Broadcast each build row's value to the probe rows of its key via the
     # Pallas fill-forward kernel (kernels/fill_forward.py): the last build
@@ -49,16 +51,17 @@ def hash_join(build_keys: jax.Array, build_vals: jax.Array,
     # unique, and build rows sort before probes of the same key). The XLA
     # spellings are unusable: associative_scan compiles pathologically at
     # >=2^24 rows, cummax+gather costs ~15 ns/row vs ~0.4 ns here.
-    bk_fill, seg_bval, has_build = fill_forward_last(stag == 0, sk, sbval)
+    bk_fill, seg_bval, has_build = fill_forward_last(is_build, sk, sval)
     seg_hit = (has_build == 1) & (bk_fill == sk)
 
-    matched = (stag == 1) & seg_hit
+    matched = ~is_build & seg_hit
     count = jnp.sum(matched.astype(jnp.uint32))
     # compact matches to the front in probe order with ONE sort: matched
     # rows keyed by their (unique) probe position, everything else keyed
     # past the probe range
-    order_key = jnp.where(matched, sppos, jnp.uint32(0xFFFFFFFF))
-    _, ok, opv, obv = jax.lax.sort((order_key, sk, spval, seg_bval),
+    order_key = jnp.where(matched, spacked & jnp.uint32(0x7FFFFFFF),
+                          jnp.uint32(0xFFFFFFFF))
+    _, ok, opv, obv = jax.lax.sort((order_key, sk, sval, seg_bval),
                                    num_keys=1, is_stable=False)
     # outputs are probe-length: matches (<= np_) sorted to the front
     return count, ok[:np_], opv[:np_], obv[:np_]

@@ -130,11 +130,15 @@ def dist_group_by_sum(keys: jax.Array, values: jax.Array, mesh: Mesh,
     return fn(keys, values)
 
 
-def _dist_join_shard(keys, tag, bval, pval, ppos, src, ranks, axis, n_total):
+def _dist_join_shard(keys, val, src, ranks, axis, n_total):
     """Local step of the distributed join after a stable global sort by key.
 
-    `src` is tag-biased (build rows rank below all probe rows of the same
-    key), so after the per-shard re-sort by (key, src) a key's build row —
+    `src` packs (tag, global row position) — bit 31 = 1 for probe rows —
+    so it is simultaneously the stability rank (build rows rank below all
+    probe rows of the same key) and the carrier of the probe position; the
+    exchange ships only 3 streams (key, src, val) where val holds the build
+    value on build rows and the probe value on probe rows. After the
+    per-shard re-sort by (key, src) a key's build row —
     unique by contract — is the FIRST row of that key's run within whichever
     shard it landed in. The exchange splits equal-key rows across shards in
     mesh order of their origin, so the build row can land in ANY shard of a
@@ -142,18 +146,18 @@ def _dist_join_shard(keys, tag, bval, pval, ppos, src, ranks, axis, n_total):
     shard) and backward (probes before it), across chains of shards fully
     occupied by the key.
     """
-    sk, stag, sbval, spval, sppos = _dist_sort_shard(
-        keys, (tag, bval, pval, ppos), ranks, axis, n_total, stable=True,
-        src=src)
+    sk, ssrc, sval = _dist_sort_shard(
+        keys, (val,), ranks, axis, n_total, stable=True, src=src,
+        keep_src=True)
+    is_build = ssrc < jnp.uint32(0x80000000)
 
     me = jax.lax.axis_index(axis)
     # within-shard broadcast of each build row's value to its key's probe
     # rows via the Pallas fill-forward kernel (build keys unique; build rows
     # sort before probes of the same key)
-    bk_fill, seg_bval, has_build = fill_forward_last(
-        stag == jnp.uint32(0), sk, sbval)
+    bk_fill, seg_bval, has_build = fill_forward_last(is_build, sk, sval)
     seg_hit = (has_build == jnp.uint32(1)) & (bk_fill == sk)
-    head_is_build = stag == jnp.uint32(0)
+    head_is_build = is_build
 
     head_key, tail_key = sk[0], sk[-1]
     h_key = jax.lax.all_gather(head_key, axis)   # (D,)
@@ -162,7 +166,7 @@ def _dist_join_shard(keys, tag, bval, pval, ppos, src, ranks, axis, n_total):
     t_hit = jax.lax.all_gather(seg_hit[-1], axis)
     # head-run build row sits at position 0 when present (build-first order)
     f_isb = jax.lax.all_gather(head_is_build[0], axis)
-    f_bval = jax.lax.all_gather(sbval[0], axis)
+    f_bval = jax.lax.all_gather(sval[0], axis)
     full = h_key == t_key
     d = t_key.shape[0]
     j = jnp.arange(d)
@@ -197,11 +201,12 @@ def _dist_join_shard(keys, tag, bval, pval, ppos, src, ranks, axis, n_total):
     seg_bval = jnp.where(in_tail_run & ~seg_hit & bwd_hit, bwd_bval, seg_bval)
     seg_hit = seg_hit | (in_tail_run & bwd_hit)
 
-    matched = (stag == jnp.uint32(1)) & seg_hit
+    matched = (~is_build) & seg_hit
     count = jnp.sum(matched.astype(jnp.uint32))
     order = jnp.argsort(~matched, stable=True)         # matches first
-    return (count.reshape(1), sk[order], spval[order], seg_bval[order],
-            sppos[order])
+    ppos = ssrc & jnp.uint32(0x7FFFFFFF)
+    return (count.reshape(1), sk[order], sval[order], seg_bval[order],
+            ppos[order])
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis"))
@@ -228,20 +233,14 @@ def dist_join(build_keys: jax.Array, build_vals: jax.Array,
     def shard_fn(bk, bv, pk, pv):
         nbl, npl = bk.shape[0], pk.shape[0]
         keys = jnp.concatenate([bk, pk])
-        tag = jnp.concatenate([jnp.zeros((nbl,), jnp.uint32),
-                               jnp.ones((npl,), jnp.uint32)])
-        bval = jnp.concatenate([bv, jnp.zeros((npl,), bv.dtype)])
-        pval = jnp.concatenate([jnp.zeros((nbl,), pv.dtype), pv])
+        val = jnp.concatenate([bv, pv])
         me = jax.lax.axis_index(axis)
         gprobe = (me.astype(jnp.uint32) * jnp.uint32(npl)
                   + jnp.arange(npl, dtype=jnp.uint32))
         gbuild = (me.astype(jnp.uint32) * jnp.uint32(nbl)
                   + jnp.arange(nbl, dtype=jnp.uint32))
-        ppos = jnp.concatenate([jnp.zeros((nbl,), jnp.uint32), gprobe])
-        src = jnp.concatenate([gbuild,
-                               gprobe + jnp.uint32(0x80000000)])
-        return _dist_join_shard(keys, tag, bval, pval, ppos, src, ranks,
-                                axis, n)
+        src = jnp.concatenate([gbuild, gprobe | jnp.uint32(0x80000000)])
+        return _dist_join_shard(keys, val, src, ranks, axis, n)
 
     # check_vma=False: the Pallas fill-forward call inside the shard body
     # cannot annotate varying-mesh-axes on its out_shapes

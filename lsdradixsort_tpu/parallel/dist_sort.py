@@ -136,7 +136,8 @@ def _exchange_padded(arrays, input_offsets, send_sizes, recv_sizes,
     return [p[:out_len] for p in packed[1:]]
 
 
-def _dist_sort_shard(keys, values, ranks, axis, n_total, stable, src=None):
+def _dist_sort_shard(keys, values, ranks, axis, n_total, stable, src=None,
+                     keep_src=False):
     n_local = keys.shape[0]
     d = n_total // n_local
     me = jax.lax.axis_index(axis)
@@ -159,6 +160,8 @@ def _dist_sort_shard(keys, values, ranks, axis, n_total, stable, src=None):
         rk, rsrc, *rvals = received
         out = jax.lax.sort((rk, rsrc) + tuple(rvals), num_keys=2,
                            is_stable=False)
+        if keep_src:
+            return out
         return (out[0],) + tuple(out[2:])
     rk, *rvals = received
     out = jax.lax.sort((rk,) + tuple(rvals), num_keys=1, is_stable=False)
