@@ -152,3 +152,59 @@ def test_dist_filter_kv(mesh):
     assert total == int(mask.sum())
     np.testing.assert_array_equal(ck, keys[mask])
     np.testing.assert_array_equal(cv, vals[mask])
+
+
+def test_config5_distributed_query_pipeline(mesh):
+    """End-to-end distributed plan (north-star config 5 shape):
+    filter probe rows -> join against build table -> GROUP BY build value.
+
+    Each stage runs distributed; ragged stage outputs are compacted and
+    re-sharded between stages (host glue, as a driver would)."""
+    from lsdradixsort_tpu.parallel.dist_query import dist_filter_kv
+    from lsdradixsort_tpu.parallel.mesh import shard_1d
+    rng = np.random.default_rng(33)
+    d = mesh.shape["x"]
+    nb, npr = 1 << 8, 1 << 13
+    bk = rng.permutation(1 << 9)[:nb].astype(np.uint32)
+    bv = rng.integers(0, 100, nb, dtype=np.uint64).astype(np.uint32)
+    pk = rng.integers(0, 1 << 9, npr, dtype=np.uint64).astype(np.uint32)
+    pv = rng.integers(0, 1000, npr, dtype=np.uint64).astype(np.uint32)
+
+    # stage 1: filter probes by value predicate
+    counts, fk, fv = dist_filter_kv(jnp.asarray(pk), jnp.asarray(pv),
+                                    0, 500, mesh=mesh)
+    total, ck, cv = undistribute(counts, fk, fv)
+    pad = -total % d
+    ck = np.pad(ck, (0, pad), constant_values=0xFFFFFFFF)  # never matches
+    cv = np.pad(cv, (0, pad))
+
+    # stage 2: join filtered probes against the build table
+    jc, jk, jpv, jbv, jpos = dist_join(
+        jnp.asarray(bk), jnp.asarray(bv),
+        shard_1d(jnp.asarray(ck), mesh), shard_1d(jnp.asarray(cv), mesh),
+        mesh=mesh)
+    jt, mk, mpv, mbv = undistribute(jc, jk, jpv, jbv)
+    pad2 = -jt % d
+    gk = np.pad(mbv, (0, pad2), constant_values=0xFFFFFFFF)
+    gv = np.pad(mpv, (0, pad2))
+
+    # stage 3: GROUP BY build value, SUM(probe value)
+    gc, guk, gsums = dist_group_by_sum(
+        shard_1d(jnp.asarray(gk), mesh), shard_1d(jnp.asarray(gv), mesh),
+        mesh=mesh)
+    gt, cuk, csums = undistribute(gc, guk, gsums)
+
+    # golden: the whole plan in numpy
+    mask = pk < 500
+    k_f, v_f = pk[mask], pv[mask]
+    lut = dict(zip(bk.tolist(), bv.tolist()))
+    hits = [(lut[k], v) for k, v in zip(k_f.tolist(), v_f.tolist())
+            if k in lut]
+    want = {}
+    for g, v in hits:
+        want[g] = (want.get(g, 0) + v) % (1 << 32)
+    wk = np.array(sorted(want), dtype=np.uint32)
+    ws = np.array([want[k] for k in sorted(want)], dtype=np.uint32)
+    got = dict(zip(cuk.tolist(), csums.tolist()))
+    got.pop(0xFFFFFFFF, None)  # padding group
+    assert got == dict(zip(wk.tolist(), ws.tolist()))
