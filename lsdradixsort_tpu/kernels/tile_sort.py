@@ -110,11 +110,58 @@ def sort_tiles_kv(keys: jax.Array, values: jax.Array, tile_rows: int = 128,
     return ok.reshape(n), ov.reshape(n)
 
 
+def _bitonic_keys_kernel(k_ref, ok_ref, *, rows: int):
+    """Keys-only tile sort: no payload stream, and ties need no break —
+    equal keys compare not-less on both pair halves, so neither swaps
+    (consistent and correct since the values are identical). ~2x the kv
+    kernel's stage cost."""
+    n = rows * LANES
+    bias = jnp.full((rows, LANES), -2147483648, jnp.int32)
+    key = k_ref[...].reshape(rows, LANES).astype(jnp.int32) ^ bias
+    flat = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
+            + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1))
+    nbits = n.bit_length() - 1
+    for kph in range(1, nbits + 1):
+        for j in range(kph - 1, -1, -1):
+            dist = 1 << j
+            is_lower = (flat & dist) == 0
+            if kph < nbits:
+                asc = (flat & (1 << kph)) == 0
+                want_small = is_lower == asc
+            else:
+                want_small = is_lower
+            if dist < LANES:
+                pk = jnp.where(is_lower, pltpu.roll(key, LANES - dist, 1),
+                               pltpu.roll(key, dist, 1))
+            else:
+                rd = dist // LANES
+                pk = jnp.where(is_lower, pltpu.roll(key, rows - rd, 0),
+                               pltpu.roll(key, rd, 0))
+            swap = (pk < key) == want_small
+            key = jnp.where(swap, pk, key)
+    ok_ref[...] = (key ^ bias).astype(jnp.uint32).reshape(1, rows, LANES)
+
+
 @functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
 def sort_tiles(keys: jax.Array, tile_rows: int = 128,
                interpret: bool | None = None) -> jax.Array:
-    """Sort uint32 keys ascending within each tile (keys-only wrapper)."""
+    """Sort uint32 keys ascending within each tile (keys-only)."""
     n = keys.shape[0]
-    idx = jax.lax.broadcasted_iota(jnp.uint32, (n, 1), 0).reshape(n)
-    ok, _ = sort_tiles_kv(keys, idx, tile_rows=tile_rows, interpret=interpret)
-    return ok
+    tile = tile_rows * LANES
+    if n % tile or tile_rows & (tile_rows - 1):
+        raise ValueError(f"n={n} must be a multiple of tile={tile}, "
+                         f"tile_rows={tile_rows} a power of 2")
+    if interpret is None:
+        interpret = _interpret_default()
+    nt = n // tile
+    spec = pl.BlockSpec((1, tile_rows, LANES), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    ok = pl.pallas_call(
+        functools.partial(_bitonic_keys_kernel, rows=tile_rows),
+        grid=(nt,),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((nt, tile_rows, LANES), jnp.uint32),
+        interpret=interpret,
+    )(keys.reshape(nt, tile_rows, LANES))
+    return ok.reshape(n)
