@@ -342,9 +342,10 @@ def suite_dist(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
     from lsdradixsort_tpu.ops.sort import sort_with_ranks
     d = len(jax.devices())
     if d == 1:
-        # D=1 exercises the path but XLA's buffer assignment for the
-        # degenerate collective program is memory-hungry; cap the size
-        n_log2 = min(n_log2, 22)
+        # D=1 exercises the path, but the degenerate single-device
+        # collective program is fragile at size (compile-OOM at 2^24,
+        # runtime FAILED_PRECONDITION at 2^22 on axon); cap hard
+        n_log2 = min(n_log2, 20)
     n = 1 << n_log2
     mesh = make_mesh(d)
     keys = datagen.random_keys(n)
@@ -372,6 +373,9 @@ def suite_dist(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
 
 
 SUITES: dict[str, Callable] = {
+    # dist first: the collective program fails with FAILED_PRECONDITION when
+    # compiled after many pallas executables in the same process (axon quirk)
+    "dist": suite_dist,
     "sort": suite_sort,
     "tile_sort": suite_tile_sort,
     "shuffle": suite_shuffle,
@@ -379,7 +383,6 @@ SUITES: dict[str, Callable] = {
     "scan": suite_scan,
     "transpose": suite_transpose,
     "query": suite_query,
-    "dist": suite_dist,
 }
 
 
