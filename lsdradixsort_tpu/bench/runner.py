@@ -363,10 +363,12 @@ def suite_dist(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
             check_arrays(ov, perm.astype(np.uint32))
     out = [_bench("dist/sort_kv", {"n": n, "devices": d}, fn, (sk, sv), n,
                   bytes_moved=16 * n, verify=ver)]
-    # single-device reference for scaling efficiency
+    # single-device reference for scaling efficiency — recorded as a
+    # structured field on the dist record, not just printed (VERDICT #10)
     t1 = time_fn(sort_with_ranks, keys, iters=3)
     rec = out[0]
     eff = (t1.seconds / rec.device_ms * 1e3) / d
+    rec.config["scaling_eff"] = round(eff, 4)
     print(f"# scaling efficiency vs 1-device sort_with_ranks: "
           f"{100 * eff:.1f}% at D={d}")
     return out
@@ -387,19 +389,24 @@ SUITES: dict[str, Callable] = {
 
 
 def run_suite(name: str, n_log2: int = 24, verify: bool = False,
-              sweep: bool = False) -> list[Record]:
+              sweep: bool = False) -> tuple[list[Record], list[dict]]:
+    """Run suites; a crashed suite is recorded in `failed`, not swallowed
+    (the reference only skips *known-infeasible* configs with a printed
+    reason, cu:940-964 — we keep the sweep going but surface the failure
+    in the report and the exit code)."""
     names = list(SUITES) if name == "all" else [name]
-    records = []
+    records: list[Record] = []
+    failed: list[dict] = []
     for s in names:
         try:
             for rec in SUITES[s](n_log2, verify, sweep):
                 print(rec.line(), flush=True)
                 records.append(rec)
-        except Exception as e:  # keep the sweep going; reference skips
-            # infeasible configs the same way (cu:940-964)
-            print(f"[{s}] SUITE FAILED: {str(e).splitlines()[0][:120]}",
-                  flush=True)
-    return records
+        except Exception as e:
+            msg = str(e).splitlines()[0][:160]
+            failed.append({"suite": s, "error": msg})
+            print(f"[{s}] SUITE FAILED: {msg}", flush=True)
+    return records, failed
 
 
 def main() -> None:
@@ -415,15 +422,23 @@ def main() -> None:
     args = p.parse_args()
     rl = roofline.detect()
     print(f"# device: {rl.device_kind}, HBM roofline {rl.hbm_gbps} GB/s")
-    records = run_suite(args.suite, args.n, args.verify, args.sweep)
+    records, failed = run_suite(args.suite, args.n, args.verify, args.sweep)
     if args.out:
         with open(args.out + ".json", "w") as f:
-            json.dump([dataclasses.asdict(r) for r in records], f, indent=1)
+            json.dump({"records": [dataclasses.asdict(r) for r in records],
+                       "failed_suites": failed}, f, indent=1)
         with open(args.out + ".md", "w") as f:
             f.write(f"# Benchmark report — {rl.device_kind}, "
                     f"{time.strftime('%Y-%m-%d')}\n\n")
             for r in records:
                 f.write(r.line() + "\n")
+            for fl in failed:
+                f.write(f"FAILED {fl['suite']}: {fl['error']}\n")
+    # automation keys on the exit code: any verify failure or crashed
+    # suite is a nonzero exit (ADVICE r1)
+    bad_verify = [r for r in records if getattr(r, "verified", None) is False]
+    if failed or bad_verify:
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,368 @@
+"""K-way merge-path merge pass — the HBM-scale half of the framework sort.
+
+TPU-native replacement for the reference's global LSD pass structure
+(GPULSDRadixSort, LSDRadixSort.cu:839-910) *re-designed for the measured
+v5e envelope*: radix partition passes cannot beat XLA's tuned sort on this
+chip (no scatter, dynamic gathers ~150 ps/elem — see ROADMAP), so the
+framework sort is a merge sort instead:
+
+  1. VMEM tile sort (kernels/tile_sort.py) produces sorted runs.
+  2. Each merge pass fuses KWAY=8 runs -> 1 run in ONE HBM round trip:
+     an XLA prepass samples every `blk`-th element, sorts the samples per
+     group, and derives *block-aligned merge-path windows*: for each
+     output chunk (<= buf elements), the 8 source windows that contain
+     exactly its elements (plus <=3 blocks of slack each).
+  3. A Pallas kernel DMAs the 8 windows into a VMEM buffer laid out as
+     4 quarters of [A ascending | B descending | -inf pads], then runs a
+     static bitonic half-cleaner cascade (quarters -> halves -> full,
+     alternating direction, so each level's input is bitonic by
+     construction), rolls the result to a 128-alignment boundary, and
+     DMA-emits exactly the chunk's rows at their final positions.
+
+Every data-dependent quantity (window offsets, roll amounts, emit ranges)
+is a scalar table computed in the XLA prepass; the kernel's vector code is
+100% static — rolls, compares, selects — which is the only fast regime on
+this hardware (ROADMAP: bitonic CE stage ~6 ps/elem vs ~150 ps/gather).
+
+Skew safety: the prepass checks every window pair against the buffer
+capacity and returns ok=False if any chunk would overflow (pathological
+distributions); the caller then falls back to jax.lax.sort for that pass.
+Uniform and all-equal-key inputs stay on the fast path (equal keys are
+split by run order, which spreads them evenly across chunks).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 128
+KWAY = 8              # fan-in per merge pass
+DEF_BLK = 2048        # default sample stride (elements) = one window block
+DEF_BUF = 1 << 20     # default VMEM merge buffer capacity (elements; 4 MB)
+NCOLS = 24            # scalar-table columns per chunk
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def pass_buf_elems(run_len: int, max_buf: int = DEF_BUF) -> int:
+    return min(max_buf, KWAY * run_len)
+
+
+def pass_spc(run_len: int, buf_elems: int, blk: int) -> int:
+    """Samples-per-chunk: whole group if it fits the buffer, else fill the
+    buffer ~86% leaving 6-sigma headroom for binomial window imbalance and
+    the +-3 blocks/window of alignment slack."""
+    if KWAY * run_len <= buf_elems:
+        return KWAY * (run_len // blk)
+    return max(buf_elems // blk - 72, 8)
+
+
+# ---------------------------------------------------------------------------
+# XLA prepass: sample-derived merge-path tables
+# ---------------------------------------------------------------------------
+
+def merge_pass_tables(keys: jax.Array, run_len: int, buf_elems: int,
+                      blk: int = DEF_BLK):
+    """Scalar tables for one merge pass (runs of `run_len` -> KWAY*run_len).
+
+    keys: (n,) uint32 sorted in runs of run_len; n % run_len == 0.
+    Returns (tables (padded_chunks, NCOLS) int32, ok) where ok is a traced
+    bool — False means some chunk would overflow the VMEM buffer (extreme
+    skew) and the caller must take the fallback path.
+    """
+    n = keys.shape[0]
+    L = run_len
+    nruns = n // L
+    ngroups = -(-nruns // KWAY)
+    S = L // blk                       # samples (= blocks) per run
+    blk_rows = blk // LANES
+    spc = pass_spc(L, buf_elems, blk)
+    qblocks = buf_elems // 4 // blk
+    bufrows = buf_elems // LANES
+    nch = -(-(KWAY * S) // spc)        # chunks per group
+
+    k2 = keys.reshape(nruns, L)
+    samp = k2[:, ::blk]                                   # (nruns, S)
+    pad_runs = ngroups * KWAY - nruns
+    if pad_runs:
+        samp = jnp.concatenate(
+            [samp, jnp.full((pad_runs, S), 0xFFFFFFFF, jnp.uint32)], 0)
+    gsamp = samp.reshape(ngroups, KWAY * S)
+    run_in_g = jnp.arange(KWAY, dtype=jnp.uint32)[:, None]
+    blk_i = jnp.arange(S, dtype=jnp.uint32)[None, :]
+    aux = jnp.broadcast_to(((run_in_g << 16) | blk_i).reshape(1, KWAY * S),
+                           (ngroups, KWAY * S))
+    sk, sa = jax.lax.sort((gsamp, aux), dimension=1, num_keys=2,
+                          is_stable=False)
+
+    irun = jnp.arange(KWAY, dtype=jnp.int32)[None, None, :]
+    gidx = jnp.arange(ngroups, dtype=jnp.int32)[:, None, None]
+    grun = gidx * KWAY + irun                              # (ng,1,K)
+    real = grun < nruns
+
+    if nch > 1:
+        # p[g,t,i]: # samples of run i before boundary t (position t*spc)
+        onehot = ((sa[:, :, None] >> 16)
+                  == jnp.arange(KWAY, dtype=jnp.uint32)).astype(jnp.int32)
+        cum = jnp.cumsum(onehot, axis=1)                   # (ng, KS, K)
+        tpos = jnp.minimum(jnp.arange(1, nch, dtype=jnp.int32) * spc,
+                           KWAY * S - 1)                   # (nch-1,)
+        p_mid = cum[:, tpos - 1, :]                        # (ng, nch-1, K)
+        bkey = sk[:, tpos][:, :, None]                     # (ng, nch-1, 1)
+        baux = sa[:, tpos]
+        brun = (baux >> 16).astype(jnp.int32)[:, :, None]
+        bblk = (baux & 0xFFFF).astype(jnp.int32)[:, :, None]
+
+        # exact ranks at interior boundaries via localized binary search
+        lo = jnp.maximum(p_mid - 1, 0) * blk
+        hi = jnp.minimum(p_mid * blk, L)
+        run_base = jnp.minimum(grun, nruns - 1) * L
+
+        def body(_, state):
+            lo_, hi_ = state
+            live = lo_ < hi_
+            mid = (lo_ + hi_) >> 1
+            el = jnp.take(keys, run_base + mid, mode="clip")
+            pred = live & ((el < bkey) | ((el == bkey) & (irun < brun)))
+            lo_ = jnp.where(pred, mid + 1, lo_)
+            hi_ = jnp.where(live & ~pred, mid, hi_)
+            return lo_, hi_
+        steps = blk.bit_length() + 1
+        rank_mid, _ = jax.lax.fori_loop(0, steps, body, (lo, hi))
+        rank_mid = jnp.where(irun == brun, bblk * blk, rank_mid)
+        rank_mid = jnp.where(real, rank_mid, 0)
+    else:
+        rank_mid = jnp.zeros((ngroups, 0, KWAY), jnp.int32)
+
+    zeros = jnp.zeros((ngroups, 1, KWAY), jnp.int32)
+    ends = jnp.where(real, jnp.int32(L), 0) + zeros
+    rank = jnp.concatenate([zeros, rank_mid, ends], axis=1)  # (ng,nch+1,K)
+
+    r = jnp.sum(rank, axis=2)                               # (ng, nch+1)
+    wstart = jnp.maximum(rank[:, :nch] // blk - 1, 0)       # (ng, nch, K)
+    wend = jnp.minimum(rank[:, 1:] // blk + 2,
+                       jnp.where(real, jnp.int32(S), 0))
+    wend = jnp.maximum(wend, wstart)
+    wblk = wend - wstart                                    # (ng, nch, K)
+    pre = jnp.sum(rank[:, :nch] - wstart * blk, axis=2)     # (ng, nch)
+
+    # adaptive pairing: sort windows by size desc, pair j with KWAY-1-j
+    order = jnp.argsort(-wblk, axis=2)                      # (ng, nch, K)
+    a_slots = order[:, :, : KWAY // 2]
+    b_slots = order[:, :, : KWAY // 2 - KWAY - 1: -1]
+    slots = jnp.stack([a_slots, b_slots], axis=3).reshape(
+        ngroups, nch, KWAY)                                 # A0 B0 A1 B1...
+    s_wblk = jnp.take_along_axis(wblk, slots, axis=2)
+    s_wstart = jnp.take_along_axis(wstart, slots, axis=2)
+    s_grun = jnp.take_along_axis(jnp.broadcast_to(grun, wblk.shape),
+                                 slots, axis=2)
+    src_row = (jnp.minimum(s_grun, nruns - 1) * (L // LANES)
+               + s_wstart * blk_rows)
+
+    pair_sum = s_wblk[:, :, 0::2] + s_wblk[:, :, 1::2]
+    ok = jnp.all(pair_sum <= qblocks)
+
+    rp = (r // LANES) * LANES                               # aligned ranks
+    pads = buf_elems - jnp.sum(s_wblk, axis=2) * blk        # -inf pad count
+    start = pads + pre - (r[:, :nch] - rp[:, :nch])
+    m = (-start) % LANES
+    emit_row0 = (start + m) // LANES
+    gbase_rows = (jnp.arange(ngroups, dtype=jnp.int32)[:, None]
+                  * (KWAY * L // LANES))
+    out_row0 = gbase_rows + rp[:, :nch] // LANES
+    emit_rows = (rp[:, 1:] - rp[:, :nch]) // LANES
+    ok = (ok & jnp.all(start >= 0)
+          & jnp.all(emit_row0 + emit_rows <= bufrows))
+
+    nchunks = ngroups * nch
+    pad_ch = -(-nchunks // 8) * 8
+    tab = jnp.zeros((pad_ch, NCOLS), jnp.int32)
+    tab = tab.at[:nchunks, 0:KWAY].set(src_row.reshape(nchunks, KWAY))
+    tab = tab.at[:nchunks, KWAY:2 * KWAY].set(s_wblk.reshape(nchunks, KWAY))
+    tab = tab.at[:nchunks, 16].set(m.reshape(nchunks))
+    tab = tab.at[:nchunks, 17].set(emit_row0.reshape(nchunks))
+    tab = tab.at[:nchunks, 18].set(out_row0.reshape(nchunks))
+    tab = tab.at[:nchunks, 19].set(emit_rows.reshape(nchunks))
+    return tab, ok
+
+
+# ---------------------------------------------------------------------------
+# Pallas merge kernel
+# ---------------------------------------------------------------------------
+
+def _flip_blocks(x, bufrows: int, blk_rows: int):
+    """Reverse element order within every blk-element block: XOR-complement
+    the row bits within each blk_rows group + reverse lanes. Static only."""
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    j = 1
+    while j < blk_rows:
+        up = pltpu.roll(x, bufrows - j, 0)   # value from row + j
+        dn = pltpu.roll(x, j, 0)             # value from row - j
+        x = jnp.where((row & j) == 0, up, dn)
+        j *= 2
+    j = 1
+    while j < LANES:
+        up = pltpu.roll(x, LANES - j, 1)
+        dn = pltpu.roll(x, j, 1)
+        x = jnp.where((lane & j) == 0, up, dn)
+        j *= 2
+    return x
+
+
+def _shift_flat_right(x, s: int):
+    """Value at flat row-major position f - s, for static s in [1, LANES)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    rolled = pltpu.roll(x, s, 1)
+    prev = pltpu.roll(rolled, 1, 0)
+    return jnp.where(lane >= s, rolled, prev)
+
+
+def _merge_kernel(tab_ref, x_hbm, o_hbm, buf, sem, *, bufrows: int,
+                  blk_rows: int, in_rows: int):
+    trow = pl.program_id(0) % 8
+    qrows = bufrows // 4
+    # largest power-of-2 block count whose DMA fits both buffers
+    max_ablk = min(qrows, in_rows) // blk_rows
+    abits = max_ablk.bit_length() - 1 if max_ablk else 0
+    ebits = min(bufrows, in_rows).bit_length() - 1
+
+    buf[...] = jnp.zeros((bufrows, LANES), jnp.uint32)      # -inf pads
+
+    # ---- load windows: A slots forward, B slots block-mirrored ----
+    for s in range(KWAY):
+        q = s // 2
+        src = tab_ref[trow, s]
+        wblk = tab_ref[trow, KWAY + s]
+        if s % 2 == 0:   # A: contiguous ascending at quarter start
+            for j in range(abits, -1, -1):
+                sz = 1 << j
+
+                @pl.when((wblk & sz) != 0)
+                def _(src=src, wblk=wblk, j=j, sz=sz, q=q):
+                    pref = ((wblk >> (j + 1)) << (j + 1)) * blk_rows
+                    dma = pltpu.make_async_copy(
+                        x_hbm.at[pl.ds(src + pref, sz * blk_rows), :],
+                        buf.at[pl.ds(q * qrows + pref, sz * blk_rows), :],
+                        sem)
+                    dma.start()
+                    dma.wait()
+        else:            # B: per-block, mirrored order, packed after A
+            wa = tab_ref[trow, KWAY + s - 1]
+
+            def bbody(b, _, src=src, wblk=wblk, wa=wa, q=q):
+                dst = q * qrows + (wa + wblk - 1 - b) * blk_rows
+                dma = pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(src + b * blk_rows, blk_rows), :],
+                    buf.at[pl.ds(dst, blk_rows), :],
+                    sem)
+                dma.start()
+                dma.wait()
+                return 0
+            jax.lax.fori_loop(0, wblk, bbody, 0)
+
+    x = buf[...]
+
+    # ---- make B regions descending: flip within blocks, masked ----
+    row = jax.lax.broadcasted_iota(jnp.int32, (bufrows, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bufrows, LANES), 1)
+    flipped = _flip_blocks(x, bufrows, blk_rows)
+    inb = jnp.zeros((bufrows, LANES), jnp.bool_)
+    for q in range(4):
+        wa = tab_ref[trow, KWAY + 2 * q]
+        wb = tab_ref[trow, KWAY + 2 * q + 1]
+        lo = q * qrows + wa * blk_rows
+        hi = lo + wb * blk_rows
+        inb = inb | ((row >= lo) & (row < hi))
+    x = jnp.where(inb, flipped, x)
+
+    # ---- half-cleaner cascade: quarters -> halves -> full ----
+    nbits = (bufrows * LANES).bit_length() - 1
+    bias = jnp.full((bufrows, LANES), -2147483648, jnp.int32)
+    key = x.astype(jnp.int32) ^ bias
+    for level in range(3):
+        size_bits = nbits - 2 + level
+        if level < 2:
+            desc = (row & (1 << (size_bits - 7))) != 0
+        else:
+            desc = jnp.zeros((bufrows, LANES), jnp.bool_)
+        for j in range(size_bits - 1, -1, -1):
+            dist = 1 << j
+            if dist < LANES:
+                is_lower = (lane & dist) == 0
+                pk = jnp.where(is_lower, pltpu.roll(key, LANES - dist, 1),
+                               pltpu.roll(key, dist, 1))
+            else:
+                rd = dist // LANES
+                is_lower = (row & rd) == 0
+                pk = jnp.where(is_lower, pltpu.roll(key, bufrows - rd, 0),
+                               pltpu.roll(key, rd, 0))
+            want_small = is_lower ^ desc
+            swap = (pk < key) == want_small
+            key = jnp.where(swap, pk, key)
+    x = (key ^ bias).astype(jnp.uint32)
+
+    # ---- roll right by m (dynamic, bit-decomposed) to 128-align emit ----
+    m = tab_ref[trow, 16]
+    for j in range(6, -1, -1):
+        sz = 1 << j
+        x = jnp.where((m & sz) != 0, _shift_flat_right(x, sz), x)
+    buf[...] = x
+
+    # ---- emit exactly the chunk's rows at final positions ----
+    e0 = tab_ref[trow, 17]
+    o0 = tab_ref[trow, 18]
+    ecnt = tab_ref[trow, 19]
+    for j in range(ebits, -1, -1):
+        sz = 1 << j
+
+        @pl.when((ecnt & sz) != 0)
+        def _(j=j, sz=sz):
+            pref = (ecnt >> (j + 1)) << (j + 1)
+            dma = pltpu.make_async_copy(
+                buf.at[pl.ds(e0 + pref, sz), :],
+                o_hbm.at[pl.ds(o0 + pref, sz), :],
+                sem)
+            dma.start()
+            dma.wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("run_len", "buf_elems", "blk",
+                                    "interpret"))
+def merge_pass(keys: jax.Array, tables: jax.Array, run_len: int,
+               buf_elems: int, blk: int = DEF_BLK,
+               interpret: bool | None = None) -> jax.Array:
+    """Execute one KWAY merge pass given prepass tables.
+
+    keys: (n,) uint32, sorted in runs of run_len (n % run_len == 0).
+    Returns keys re-ordered into sorted runs of KWAY*run_len.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    n = keys.shape[0]
+    bufrows = buf_elems // LANES
+    kern = functools.partial(_merge_kernel, bufrows=bufrows,
+                             blk_rows=blk // LANES, in_rows=n // LANES)
+    tab_spec = pl.BlockSpec((8, NCOLS), lambda i: (i // 8, 0),
+                            memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kern,
+        grid=(tables.shape[0],),
+        in_specs=[tab_spec, pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((bufrows, LANES), jnp.uint32),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(tables, keys.reshape(n // LANES, LANES))
+    return out.reshape(n)

@@ -4,10 +4,10 @@ scatter (LSDRadixSortKernel's `b[dst] = val`, LSDRadixSort.cu:831-836).
 TPU vector units cannot scatter; the hardware that CAN move data to
 arbitrary addresses at full bandwidth is the DMA engine. This kernel moves
 **runs of whole 128-lane rows** between HBM buffers at dynamic, data-derived
-offsets: each grid step issues a pipeline of async copies (up to `DEPTH`
-outstanding) whose source/destination row offsets come from scalar-prefetch
-operands. Variable run lengths are decomposed by binary weight (one DMA per
-set bit), since DMA shapes must be static.
+offsets whose source/destination rows come from scalar-prefetch operands.
+The fixed-size path keeps up to `DEPTH` copies outstanding; the
+variable-length path decomposes each run by binary weight (one DMA per set
+bit, drained as issued) since DMA shapes must be static.
 
 Measured on TPU v5e: ~195 ns/DMA issue cost; 84 GB/s effective at 16 KB
 runs, 205 GB/s at 64 KB runs (exp/probe_permute2.py) vs 310 GB/s straight
@@ -39,7 +39,10 @@ def _shuffle_kernel(src_ref, dst_ref, len_ref, x_hbm, o_hbm, sems,
     cols = runs_per_step // 8
     max_bits = min(MAX_LEN_BITS, min(in_rows, out_rows).bit_length() - 1)
 
-    # one wave per length-bit so every in-flight DMA has the same static size
+    # One wave per length-bit so every in-flight DMA has the same static
+    # size. Each DMA is started and drained immediately (no overlap): at
+    # the >=4 KB run sizes this kernel targets, the measured rate is within
+    # ~10% of the pipelined fixed-size path, so the simpler form stands.
     for bit in range(max_bits + 1):
         size = 1 << bit
 
@@ -108,8 +111,13 @@ def shuffle_row_runs(x: jax.Array, src_rows: jax.Array, dst_rows: jax.Array,
     x: (rows, 128) uint32. For each run i:
         out[dst_rows[i] : dst_rows[i] + run_rows[i]] =
           x[src_rows[i] : src_rows[i] + run_rows[i]]
-    Rows not covered by any run are zero. `fixed_rows > 0` promises every
-    run_rows[i] == fixed_rows (enables the fully pipelined path).
+    Output rows not covered by any run are UNSPECIFIED (the HBM buffer is
+    not zero-initialized); callers must cover every output row they read.
+    `fixed_rows > 0` promises every run_rows[i] == fixed_rows (enables the
+    fully pipelined path). Variable-length runs are decomposed by binary
+    weight with lengths capped at 2**MAX_LEN_BITS rows: runs longer than
+    65536 rows (8.4M elements) would be silently truncated — split such
+    runs before calling.
     """
     if interpret is None:
         interpret = _interpret_default()

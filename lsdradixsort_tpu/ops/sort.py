@@ -30,18 +30,60 @@ from lsdradixsort_tpu.core.digits import get_digit, num_digit_groups
 from lsdradixsort_tpu.kernels.histogram import block_digit_histograms
 from lsdradixsort_tpu.kernels.scan import exclusive_scan
 
-_STRATEGIES = ("xla", "composed")
+_STRATEGIES = ("merge", "xla", "composed")
 
 
 @functools.partial(jax.jit, static_argnames=("strategy", "r", "block_size"))
-def sort(keys: jax.Array, strategy: str = "xla", r: int = 8,
+def sort(keys: jax.Array, strategy: str = "merge", r: int = 8,
          block_size: int = 1 << 13) -> jax.Array:
-    """Sort uint32 keys ascending (TestGPULSDRadixSort path, cu:912-1030)."""
+    """Sort uint32 keys ascending (TestGPULSDRadixSort path, cu:912-1030).
+
+    The default "merge" strategy is the framework's own sort (VMEM tile
+    sort + 8-way sample-split merge passes, kernels/merge.py) — faster
+    than jax.lax.sort on v5e for large keys-only inputs.
+    """
+    if strategy == "merge":
+        return merge_sort_keys(keys)
     if strategy == "xla":
         return jax.lax.sort(keys)
     if strategy == "composed":
         return _composed_lsd_sort(keys, r=r, block_size=block_size)
     raise ValueError(f"unknown strategy {strategy!r}; pick from {_STRATEGIES}")
+
+
+def merge_sort_keys(keys: jax.Array, tile_log2: int = 15,
+                    max_buf: int | None = None,
+                    blk: int | None = None) -> jax.Array:
+    """The framework sort: tile sort + 8-way merge passes (kernels/merge.py).
+
+    Any n >= 1 (padded internally with 0xFFFFFFFF sentinels). tile_log2 /
+    max_buf / blk are tuning knobs (tests shrink them to keep interpret
+    mode fast); production defaults are tile=2^15, buf=2^20, blk=2048.
+    """
+    from lsdradixsort_tpu.kernels import merge as M
+    from lsdradixsort_tpu.kernels.tile_sort import sort_tiles
+    if max_buf is None:
+        max_buf = M.DEF_BUF
+    if blk is None:
+        blk = M.DEF_BLK
+    n = keys.shape[0]
+    tile = 1 << tile_log2
+    npad = -(-n // tile) * tile
+    x = keys if npad == n else jnp.concatenate(
+        [keys, jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)])
+    x = sort_tiles(x, tile_rows=tile // 128)
+    run = tile
+    while run < npad:
+        buf = M.pass_buf_elems(run, max_buf)
+        tab, ok = M.merge_pass_tables(x, run, buf, blk)
+        x = jax.lax.cond(
+            ok,
+            lambda x, tab: M.merge_pass(x, tab, run_len=run, buf_elems=buf,
+                                        blk=blk),
+            lambda x, tab: jax.lax.sort(x),
+            x, tab)
+        run *= M.KWAY
+    return x[:n] if npad != n else x
 
 
 @functools.partial(jax.jit, static_argnames=("strategy", "r", "block_size"))

@@ -66,9 +66,6 @@ def _dist_group_by_sum_shard(keys, vals, ranks, axis, n_total):
     head_key, tail_key = sk[0], sk[-1]
     head_len = jnp.sum((sk == head_key).astype(jnp.uint32))
     head_sum = csum[head_len - 1]
-    tail_start = jnp.sum((sk != tail_key).astype(jnp.uint32))  # sorted
-    tail_sum = csum[-1] - jnp.where(tail_start > 0,
-                                    csum[tail_start - 1], jnp.uint32(0))
 
     h_key = jax.lax.all_gather(head_key, axis)   # (D,)
     t_key = jax.lax.all_gather(tail_key, axis)

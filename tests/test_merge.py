@@ -1,0 +1,84 @@
+"""Merge-sort pass + full framework sort (kernels/merge.py, ops/sort.py).
+
+Golden-model differential tests (reference discipline: CheckArrays,
+Utils.cpp:62-68) at shrunken geometry so Pallas interpret mode stays fast:
+tile=2^10, blk=128, buf=2^13.
+"""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from lsdradixsort_tpu.kernels import merge as M
+from lsdradixsort_tpu.kernels.tile_sort import sort_tiles
+from lsdradixsort_tpu.ops.sort import merge_sort_keys, sort
+
+TILE_LOG = 10
+BLK = 128
+MAXBUF = 1 << 13
+
+
+def _msort(keys):
+    return merge_sort_keys(jnp.asarray(keys, jnp.uint32),
+                           tile_log2=TILE_LOG, max_buf=MAXBUF, blk=BLK)
+
+
+def test_single_pass_tables_and_merge(rng):
+    # 8 sorted runs of 1024 -> one 8192 run, single chunk per group
+    n, L = 1 << 13, 1 << 10
+    x = np.sort(rng.integers(0, 2**32, (8, L), dtype=np.uint32),
+                axis=1).reshape(-1)
+    buf = M.pass_buf_elems(L, MAXBUF)
+    tab, ok = M.merge_pass_tables(jnp.asarray(x), L, buf, BLK)
+    assert bool(ok)
+    out = M.merge_pass(jnp.asarray(x), tab, run_len=L, buf_elems=buf,
+                       blk=BLK)
+    np.testing.assert_array_equal(np.asarray(out), np.sort(x))
+
+
+def test_multi_chunk_pass(rng):
+    # 8 runs of 8192 with buf 8192 -> many chunks per group
+    n, L = 1 << 16, 1 << 13
+    x = np.sort(rng.integers(0, 2**32, (8, L), dtype=np.uint32),
+                axis=1).reshape(-1)
+    buf = M.pass_buf_elems(L, MAXBUF)
+    assert buf < M.KWAY * L
+    tab, ok = M.merge_pass_tables(jnp.asarray(x), L, buf, BLK)
+    assert bool(ok)
+    out = M.merge_pass(jnp.asarray(x), tab, run_len=L, buf_elems=buf,
+                       blk=BLK)
+    np.testing.assert_array_equal(np.asarray(out), np.sort(x))
+
+
+@pytest.mark.parametrize("n", [1 << 13, 1 << 16, (1 << 16) - 777, 1000, 1])
+def test_merge_sort_keys_random(rng, n):
+    x = rng.integers(0, 2**32, n, dtype=np.uint32)
+    np.testing.assert_array_equal(np.asarray(_msort(x)), np.sort(x))
+
+
+def test_merge_sort_duplicates_heavy(rng):
+    x = rng.integers(0, 7, 1 << 16, dtype=np.uint32)
+    np.testing.assert_array_equal(np.asarray(_msort(x)), np.sort(x))
+
+
+def test_merge_sort_all_equal():
+    x = np.full(1 << 16, 0xDEADBEEF, np.uint32)
+    np.testing.assert_array_equal(np.asarray(_msort(x)), x)
+
+
+def test_merge_sort_presorted_and_reverse(rng):
+    x = np.arange(1 << 16, dtype=np.uint32)
+    np.testing.assert_array_equal(np.asarray(_msort(x)), x)
+    np.testing.assert_array_equal(np.asarray(_msort(x[::-1].copy())), x)
+
+
+def test_merge_sort_extreme_values(rng):
+    x = rng.choice(np.array([0, 1, 0xFFFFFFFE, 0xFFFFFFFF], np.uint32),
+                   1 << 13).astype(np.uint32)
+    np.testing.assert_array_equal(np.asarray(_msort(x)), np.sort(x))
+
+
+def test_sort_op_merge_strategy(rng):
+    # the public op's default path at production geometry (interpret mode)
+    x = rng.integers(0, 2**32, 1 << 15, dtype=np.uint32)
+    got = sort(jnp.asarray(x))   # default strategy="merge"
+    np.testing.assert_array_equal(np.asarray(got), np.sort(x))
