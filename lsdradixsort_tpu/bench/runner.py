@@ -82,13 +82,16 @@ def _bench(suite, config, fn, args, n, bytes_moved, host_fn=None,
 # ---------------------------------------------------------------------------
 
 def suite_sort(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
-    from lsdradixsort_tpu.ops.sort import sort, sort_kv
+    from lsdradixsort_tpu.ops.sort import (sort, sort_kv,
+                                           merge_sort_with_ranks)
     from lsdradixsort_tpu import native
     n = 1 << n_log2
     keys = datagen.random_keys(n)
     out = []
+    # the framework sort (strategy="merge", the default) vs jax.lax.sort
     fn = jax.jit(lambda k: sort(k))
-    ver = None
+    fx = jax.jit(lambda k: sort(k, strategy="xla"))
+    ver = verx = None
     host_fn = host_args = None
     if native.available():
         # host baseline: the reference's CPU-golden timing (cu:984-990)
@@ -98,12 +101,16 @@ def suite_sort(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
     if verify:
         keys_np = np.asarray(keys)
         ver = lambda: check_arrays(fn(keys), np.sort(keys_np))
-    out.append(_bench("sort/keys", {"n": n}, fn, (keys,), n,
-                      bytes_moved=8 * n, host_fn=host_fn, host_args=host_args,
-                      verify=ver))
+        verx = lambda: check_arrays(fx(keys), np.sort(keys_np))
+    out.append(_bench("sort/keys", {"n": n, "strategy": "merge"}, fn,
+                      (keys,), n, bytes_moved=8 * n, host_fn=host_fn,
+                      host_args=host_args, verify=ver))
+    out.append(_bench("sort/keys_xla", {"n": n}, fx, (keys,), n,
+                      bytes_moved=8 * n, verify=verx))
     vals = jnp.arange(n, dtype=jnp.uint32)
     fkv = jax.jit(lambda k, v: sort_kv(k, v))
-    vkv = None
+    fmr = jax.jit(merge_sort_with_ranks)
+    vkv = vmr = None
     if verify:
         keys_np = np.asarray(keys)
         perm = np.argsort(keys_np, kind="stable")
@@ -111,8 +118,14 @@ def suite_sort(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
             sk, sv = fkv(keys, vals)
             check_arrays(sk, keys_np[perm])
             check_arrays(sv, perm.astype(np.uint32))
-    out.append(_bench("sort/kv", {"n": n}, fkv, (keys, vals), n,
-                      bytes_moved=16 * n, verify=vkv))
+        def vmr():
+            sk, sv = fmr(keys)
+            check_arrays(sk, keys_np[perm])
+            check_arrays(sv, perm.astype(np.uint32))
+    out.append(_bench("sort/kv", {"n": n, "strategy": "xla"}, fkv,
+                      (keys, vals), n, bytes_moved=16 * n, verify=vkv))
+    out.append(_bench("sort/kv_merge", {"n": n}, fmr, (keys,), n,
+                      bytes_moved=16 * n, verify=vmr))
     if sweep:
         # the composed LSD radix pipeline (histogram -> scans -> scatter,
         # the reference's pass structure) — correctness scaffold; XLA's

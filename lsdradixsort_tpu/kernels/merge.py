@@ -87,8 +87,9 @@ def merge_pass_tables(keys: jax.Array, run_len: int, buf_elems: int,
     bufrows = buf_elems // LANES
     nch = -(-(KWAY * S) // spc)        # chunks per group
 
-    k2 = keys.reshape(nruns, L)
-    samp = k2[:, ::blk]                                   # (nruns, S)
+    # sample via a 1-D strided slice: reshaping keys to (nruns, L) first
+    # materializes a full relayout copy at large L (4 GB at n=2^30)
+    samp = keys[::blk].reshape(nruns, S)                  # (nruns, S)
     pad_runs = ngroups * KWAY - nruns
     if pad_runs:
         samp = jnp.concatenate(
@@ -333,6 +334,169 @@ def _merge_kernel(tab_ref, x_hbm, o_hbm, buf, sem, *, bufrows: int,
             dma.wait()
 
 
+def _merge_kernel_kv(tab_ref, k_hbm, v_hbm, ok_hbm, ov_hbm, kbuf, vbuf, sem,
+                     *, bufrows: int, blk_rows: int, in_rows: int):
+    """Key-value variant: the payload stream rides through every move and
+    acts as the comparison tiebreak, so when values are unique and ordered
+    consistently with run order (e.g. the original row index, as in
+    sort_with_ranks) the merge is stable."""
+    trow = pl.program_id(0) % 8
+    qrows = bufrows // 4
+    max_ablk = min(qrows, in_rows) // blk_rows
+    abits = max_ablk.bit_length() - 1 if max_ablk else 0
+    ebits = min(bufrows, in_rows).bit_length() - 1
+
+    kbuf[...] = jnp.zeros((bufrows, LANES), jnp.uint32)
+    vbuf[...] = jnp.zeros((bufrows, LANES), jnp.uint32)
+
+    for s in range(KWAY):
+        q = s // 2
+        src = tab_ref[trow, s]
+        wblk = tab_ref[trow, KWAY + s]
+        if s % 2 == 0:
+            for j in range(abits, -1, -1):
+                sz = 1 << j
+
+                @pl.when((wblk & sz) != 0)
+                def _(src=src, wblk=wblk, j=j, sz=sz, q=q):
+                    pref = ((wblk >> (j + 1)) << (j + 1)) * blk_rows
+                    for hbm, buf in ((k_hbm, kbuf), (v_hbm, vbuf)):
+                        dma = pltpu.make_async_copy(
+                            hbm.at[pl.ds(src + pref, sz * blk_rows), :],
+                            buf.at[pl.ds(q * qrows + pref,
+                                         sz * blk_rows), :],
+                            sem)
+                        dma.start()
+                        dma.wait()
+        else:
+            wa = tab_ref[trow, KWAY + s - 1]
+
+            def bbody(b, _, src=src, wblk=wblk, wa=wa, q=q):
+                dst = q * qrows + (wa + wblk - 1 - b) * blk_rows
+                for hbm, buf in ((k_hbm, kbuf), (v_hbm, vbuf)):
+                    dma = pltpu.make_async_copy(
+                        hbm.at[pl.ds(src + b * blk_rows, blk_rows), :],
+                        buf.at[pl.ds(dst, blk_rows), :],
+                        sem)
+                    dma.start()
+                    dma.wait()
+                return 0
+            jax.lax.fori_loop(0, wblk, bbody, 0)
+
+    xk = kbuf[...]
+    xv = vbuf[...]
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (bufrows, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (bufrows, LANES), 1)
+    inb = jnp.zeros((bufrows, LANES), jnp.bool_)
+    for q in range(4):
+        wa = tab_ref[trow, KWAY + 2 * q]
+        wb = tab_ref[trow, KWAY + 2 * q + 1]
+        lo = q * qrows + wa * blk_rows
+        hi = lo + wb * blk_rows
+        inb = inb | ((row >= lo) & (row < hi))
+    xk = jnp.where(inb, _flip_blocks(xk, bufrows, blk_rows), xk)
+    xv = jnp.where(inb, _flip_blocks(xv, bufrows, blk_rows), xv)
+
+    nbits = (bufrows * LANES).bit_length() - 1
+    bias = jnp.full((bufrows, LANES), -2147483648, jnp.int32)
+    key = xk.astype(jnp.int32) ^ bias
+    val = xv.astype(jnp.int32) ^ bias
+    for level in range(3):
+        size_bits = nbits - 2 + level
+        if level < 2:
+            desc = (row & (1 << (size_bits - 7))) != 0
+        else:
+            desc = jnp.zeros((bufrows, LANES), jnp.bool_)
+        for j in range(size_bits - 1, -1, -1):
+            dist = 1 << j
+            if dist < LANES:
+                is_lower = (lane & dist) == 0
+                pk = jnp.where(is_lower, pltpu.roll(key, LANES - dist, 1),
+                               pltpu.roll(key, dist, 1))
+                pv = jnp.where(is_lower, pltpu.roll(val, LANES - dist, 1),
+                               pltpu.roll(val, dist, 1))
+            else:
+                rd = dist // LANES
+                is_lower = (row & rd) == 0
+                pk = jnp.where(is_lower, pltpu.roll(key, bufrows - rd, 0),
+                               pltpu.roll(key, rd, 0))
+                pv = jnp.where(is_lower, pltpu.roll(val, bufrows - rd, 0),
+                               pltpu.roll(val, rd, 0))
+            want_small = is_lower ^ desc
+            take_p = (pk < key) | ((pk == key) & (pv < val))
+            swap = take_p == want_small
+            key = jnp.where(swap, pk, key)
+            val = jnp.where(swap, pv, val)
+    xk = (key ^ bias).astype(jnp.uint32)
+    xv = (val ^ bias).astype(jnp.uint32)
+
+    m = tab_ref[trow, 16]
+    for j in range(6, -1, -1):
+        sz = 1 << j
+        bit = (m & sz) != 0
+        xk = jnp.where(bit, _shift_flat_right(xk, sz), xk)
+        xv = jnp.where(bit, _shift_flat_right(xv, sz), xv)
+    kbuf[...] = xk
+    vbuf[...] = xv
+
+    e0 = tab_ref[trow, 17]
+    o0 = tab_ref[trow, 18]
+    ecnt = tab_ref[trow, 19]
+    for j in range(ebits, -1, -1):
+        sz = 1 << j
+
+        @pl.when((ecnt & sz) != 0)
+        def _(j=j, sz=sz):
+            pref = (ecnt >> (j + 1)) << (j + 1)
+            for buf, hbm in ((kbuf, ok_hbm), (vbuf, ov_hbm)):
+                dma = pltpu.make_async_copy(
+                    buf.at[pl.ds(e0 + pref, sz), :],
+                    hbm.at[pl.ds(o0 + pref, sz), :],
+                    sem)
+                dma.start()
+                dma.wait()
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("run_len", "buf_elems", "blk",
+                                    "interpret"))
+def merge_pass_kv(keys: jax.Array, vals: jax.Array, tables: jax.Array,
+                  run_len: int, buf_elems: int, blk: int = DEF_BLK,
+                  interpret: bool | None = None):
+    """One KWAY merge pass carrying a payload stream (see _merge_kernel_kv).
+
+    Stability contract: within equal keys the merge orders by the PAYLOAD,
+    so this is a stable key sort exactly when vals are unique and
+    consistent with run order (e.g. original row indices)."""
+    if interpret is None:
+        interpret = _interpret_default()
+    n = keys.shape[0]
+    bufrows = buf_elems // LANES
+    kern = functools.partial(_merge_kernel_kv, bufrows=bufrows,
+                             blk_rows=blk // LANES, in_rows=n // LANES)
+    tab_spec = pl.BlockSpec((8, NCOLS), lambda i: (i // 8, 0),
+                            memory_space=pltpu.SMEM)
+    shape = jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32)
+    ok, ov = pl.pallas_call(
+        kern,
+        grid=(tables.shape[0],),
+        in_specs=[tab_spec, pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        out_shape=[shape, shape],
+        scratch_shapes=[pltpu.VMEM((bufrows, LANES), jnp.uint32),
+                        pltpu.VMEM((bufrows, LANES), jnp.uint32),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(tables, keys.reshape(n // LANES, LANES),
+      vals.reshape(n // LANES, LANES))
+    return ok.reshape(n), ov.reshape(n)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("run_len", "buf_elems", "blk",
                                     "interpret"))
@@ -361,7 +525,6 @@ def merge_pass(keys: jax.Array, tables: jax.Array, run_len: int,
         scratch_shapes=[pltpu.VMEM((bufrows, LANES), jnp.uint32),
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(tables, keys.reshape(n // LANES, LANES))

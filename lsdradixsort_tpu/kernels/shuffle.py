@@ -100,6 +100,82 @@ def _shuffle_kernel_pipelined(src_ref, dst_ref, len_ref, x_hbm, o_hbm, sems,
     jax.lax.fori_loop(0, runs_per_step, body, 0)
 
 
+def _shuffle_elem_kernel(src_ref, dst_ref, len_ref, x_hbm, o_hbm, sems,
+                         *, runs_per_step: int, total_runs: int,
+                         max_bits: int):
+    step = pl.program_id(0)
+    base = step * runs_per_step
+    cols = runs_per_step // 8
+
+    for bit in range(max_bits + 1):
+        size = 1 << bit
+
+        def wave(i, _, bit=bit, size=size):
+            valid = jnp.logical_and(base + i < total_runs,
+                                    (len_ref[i // cols, i % cols] & size) != 0)
+
+            @pl.when(valid)
+            def _():
+                ln = len_ref[i // cols, i % cols]
+                off = (ln >> (bit + 1)) << (bit + 1)
+                dma = pltpu.make_async_copy(
+                    x_hbm.at[pl.ds(src_ref[i // cols, i % cols] + off, size)],
+                    o_hbm.at[pl.ds(dst_ref[i // cols, i % cols] + off, size)],
+                    sems.at[i % DEPTH],
+                )
+                dma.start()
+                dma.wait()
+            return 0
+        jax.lax.fori_loop(0, runs_per_step, wave, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("out_elems", "runs_per_step",
+                                             "max_len_bits", "interpret"))
+def shuffle_elem_runs(x: jax.Array, src: jax.Array, dst: jax.Array,
+                      run_len: jax.Array, out_elems: int,
+                      runs_per_step: int = 256, max_len_bits: int = 16,
+                      interpret: bool | None = None) -> jax.Array:
+    """Element-granular run shuffle: out[dst[i]:dst[i]+len[i]] = x[src[i]:..].
+
+    The 1-D sibling of shuffle_row_runs for runs that are not 128-row
+    aligned (the composed radix pipeline's per-(tile,digit) runs). Lengths
+    decompose by binary weight; offsets are arbitrary elements. Uncovered
+    output elements are unspecified. Lengths must be < 2**max_len_bits.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    nruns = src.shape[0]
+    grid = (pl.cdiv(nruns, runs_per_step),)
+    if runs_per_step % 8:
+        raise ValueError("runs_per_step must be a multiple of 8")
+    mb = min(max_len_bits, max(out_elems, 2).bit_length() - 1)
+    kern = functools.partial(_shuffle_elem_kernel,
+                             runs_per_step=runs_per_step, total_runs=nruns,
+                             max_bits=mb)
+    padded = grid[0] * runs_per_step
+    pad = padded - nruns
+    cols = runs_per_step // 8
+
+    def _prep(a):
+        a = a.astype(jnp.int32)
+        if pad:
+            a = jnp.pad(a, (0, pad))
+        return a.reshape(grid[0] * 8, cols)
+    run_spec = pl.BlockSpec((8, cols), lambda i: (i, 0),
+                            memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[run_spec, run_spec, run_spec,
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((out_elems,), jnp.uint32),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((DEPTH,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(_prep(src), _prep(dst), _prep(run_len), x)
+
+
 @functools.partial(jax.jit, static_argnames=("out_rows", "runs_per_step",
                                              "fixed_rows", "interpret"))
 def shuffle_row_runs(x: jax.Array, src_rows: jax.Array, dst_rows: jax.Array,

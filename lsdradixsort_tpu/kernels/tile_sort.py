@@ -34,15 +34,22 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _bitonic_kernel(k_ref, v_ref, ok_ref, ov_ref, *, rows: int):
-    """Sort one (rows, 128) tile by (key, val) ascending, row-major order."""
+def bitonic_network(key, val, rows: int, compare_val: bool = True,
+                    seg_elems: int | None = None):
+    """In-kernel bitonic sorting network on a (rows, 128) int32 key array
+    with an optional riding payload. Usable from any Pallas kernel body.
+
+    key: (rows, 128) int32 (caller applies the uint32 order-isomorphic
+    bias if needed). val: payload, compared as tiebreak iff compare_val
+    (pass unique values for stability). seg_elems limits the network to
+    sorting each seg_elems-sized row-major segment independently (the
+    segmented form used by compaction / bucket sorts).
+    """
     n = rows * LANES
-    bias = jnp.full((rows, LANES), -2147483648, jnp.int32)
-    key = k_ref[...].reshape(rows, LANES).astype(jnp.int32) ^ bias
-    val = v_ref[...].reshape(rows, LANES).astype(jnp.int32)
+    seg = seg_elems or n
     flat = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
             + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1))
-    nbits = n.bit_length() - 1
+    nbits = seg.bit_length() - 1
     for kph in range(1, nbits + 1):
         for j in range(kph - 1, -1, -1):
             dist = 1 << j
@@ -55,20 +62,34 @@ def _bitonic_kernel(k_ref, v_ref, ok_ref, ov_ref, *, rows: int):
             if dist < LANES:
                 pk = jnp.where(is_lower, pltpu.roll(key, LANES - dist, 1),
                                pltpu.roll(key, dist, 1))
-                pv = jnp.where(is_lower, pltpu.roll(val, LANES - dist, 1),
-                               pltpu.roll(val, dist, 1))
+                if val is not None:
+                    pv = jnp.where(is_lower, pltpu.roll(val, LANES - dist, 1),
+                                   pltpu.roll(val, dist, 1))
             else:
                 rd = dist // LANES
                 pk = jnp.where(is_lower, pltpu.roll(key, rows - rd, 0),
                                pltpu.roll(key, rd, 0))
-                pv = jnp.where(is_lower, pltpu.roll(val, rows - rd, 0),
-                               pltpu.roll(val, rd, 0))
-            # lexicographic (key, val) compare; val unique => no full ties =>
-            # both pair halves agree => consistent swap
-            take_p = (pk < key) | ((pk == key) & (pv < val))
+                if val is not None:
+                    pv = jnp.where(is_lower, pltpu.roll(val, rows - rd, 0),
+                                   pltpu.roll(val, rd, 0))
+            if compare_val and val is not None:
+                # lexicographic (key, val); unique vals => consistent swap
+                take_p = (pk < key) | ((pk == key) & (pv < val))
+            else:
+                take_p = pk < key
             swap = take_p == want_small
             key = jnp.where(swap, pk, key)
-            val = jnp.where(swap, pv, val)
+            if val is not None:
+                val = jnp.where(swap, pv, val)
+    return key, val
+
+
+def _bitonic_kernel(k_ref, v_ref, ok_ref, ov_ref, *, rows: int):
+    """Sort one (rows, 128) tile by (key, val) ascending, row-major order."""
+    bias = jnp.full((rows, LANES), -2147483648, jnp.int32)
+    key = k_ref[...].reshape(rows, LANES).astype(jnp.int32) ^ bias
+    val = v_ref[...].reshape(rows, LANES).astype(jnp.int32)
+    key, val = bitonic_network(key, val, rows)
     ok_ref[...] = (key ^ bias).astype(jnp.uint32).reshape(1, rows, LANES)
     ov_ref[...] = val.astype(jnp.uint32).reshape(1, rows, LANES)
 
@@ -114,31 +135,10 @@ def _bitonic_keys_kernel(k_ref, ok_ref, *, rows: int):
     """Keys-only tile sort: no payload stream, and ties need no break —
     equal keys compare not-less on both pair halves, so neither swaps
     (consistent and correct since the values are identical). ~2x the kv
-    kernel's stage cost."""
-    n = rows * LANES
+    kernel's stage rate."""
     bias = jnp.full((rows, LANES), -2147483648, jnp.int32)
     key = k_ref[...].reshape(rows, LANES).astype(jnp.int32) ^ bias
-    flat = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
-            + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1))
-    nbits = n.bit_length() - 1
-    for kph in range(1, nbits + 1):
-        for j in range(kph - 1, -1, -1):
-            dist = 1 << j
-            is_lower = (flat & dist) == 0
-            if kph < nbits:
-                asc = (flat & (1 << kph)) == 0
-                want_small = is_lower == asc
-            else:
-                want_small = is_lower
-            if dist < LANES:
-                pk = jnp.where(is_lower, pltpu.roll(key, LANES - dist, 1),
-                               pltpu.roll(key, dist, 1))
-            else:
-                rd = dist // LANES
-                pk = jnp.where(is_lower, pltpu.roll(key, rows - rd, 0),
-                               pltpu.roll(key, rd, 0))
-            swap = (pk < key) == want_small
-            key = jnp.where(swap, pk, key)
+    key, _ = bitonic_network(key, None, rows)
     ok_ref[...] = (key ^ bias).astype(jnp.uint32).reshape(1, rows, LANES)
 
 

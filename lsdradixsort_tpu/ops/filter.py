@@ -13,22 +13,43 @@ import jax
 import jax.numpy as jnp
 
 
+_STREAM_TILE = 1 << 15   # kernels/compaction.py grid-step granularity
+
+
 @jax.jit
 def compact(mask: jax.Array, *arrays):
     """Stable compaction: rows where mask is True move to the front.
 
     Returns (count, *compacted_arrays). Order among selected rows is
     preserved (stable), matching the golden model bit-exactly on the first
-    `count` rows.
+    `count` rows. The tail beyond `count` is unspecified.
+
+    Large inputs stream through the Pallas compaction kernel (one pass per
+    array, ~4x the round-1 sort-based spelling); small ones keep the
+    sort-based path (grid overheads dominate below one tile).
     """
+    from lsdradixsort_tpu.kernels.compaction import compact_stream
     n = mask.shape[0]
+    count = jnp.sum(mask, dtype=jnp.uint32)
+    if n >= _STREAM_TILE:
+        npad = -(-n // _STREAM_TILE) * _STREAM_TILE
+        m = mask.astype(jnp.uint32)
+        if npad != n:
+            m = jnp.concatenate(
+                [m, jnp.zeros((npad - n,), jnp.uint32)])
+        outs = []
+        for a in arrays:
+            ap = a if npad == n else jnp.concatenate(
+                [a, jnp.zeros((npad - n,), a.dtype)])
+            outs.append(compact_stream(m, ap.astype(jnp.uint32))[:n]
+                        .astype(a.dtype))
+        return (count, *outs)
     sort_key = jnp.where(mask, jnp.uint32(0), jnp.uint32(1))
     # unstable 2-key sort with a unique iota tiebreak == stable 1-key sort,
     # minus XLA's 1.4x is_stable tax (see ops/sort.py sort_with_ranks)
     iota = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
     out = jax.lax.sort((sort_key, iota, *arrays), num_keys=2,
                        is_stable=False)
-    count = jnp.sum(mask, dtype=jnp.uint32)
     return (count, *out[2:])
 
 
