@@ -43,18 +43,3 @@ stamp(f"VERIFY filter/compaction 2^27 (sel={sel.size/N:.2f}): {okf}")
 if okf:
     t = time_fn(ffilt, keys, iters=4)
     stamp(f"filter: {t.ms:.1f} ms {N/t.seconds/1e9:.3f} Gelem/s")
-
-# ---- composed_dma (r=4 and r=6) at 2^24 ----
-n2 = 1 << 24
-k2 = keys[:n2]
-k2n = keys_np[:n2]
-w2 = np.sort(k2n)
-for r in (4, 6):
-    fc = jax.jit(lambda k, r=r: sort(k, strategy="composed_dma", r=r))
-    got = np.asarray(fc(k2))
-    okc = bool((got == w2).all())
-    stamp(f"VERIFY composed_dma r={r} 2^24: {okc}")
-    if okc:
-        t = time_fn(fc, k2, iters=3)
-        stamp(f"composed_dma r={r}: {t.ms:.1f} ms "
-              f"{n2/t.seconds/1e9*1e3:.1f} Melem/s")

@@ -137,10 +137,19 @@ def shuffle_elem_runs(x: jax.Array, src: jax.Array, dst: jax.Array,
                       interpret: bool | None = None) -> jax.Array:
     """Element-granular run shuffle: out[dst[i]:dst[i]+len[i]] = x[src[i]:..].
 
-    The 1-D sibling of shuffle_row_runs for runs that are not 128-row
-    aligned (the composed radix pipeline's per-(tile,digit) runs). Lengths
-    decompose by binary weight; offsets are arbitrary elements. Uncovered
-    output elements are unspecified. Lengths must be < 2**max_len_bits.
+    The 1-D sibling of shuffle_row_runs. Lengths decompose by binary
+    weight; uncovered output elements are unspecified; lengths must be
+    < 2**max_len_bits.
+
+    ON-CHIP ALIGNMENT CONSTRAINT: Mosaic tiles 1-D refs at 1024 elements
+    and rejects slices that are not 1024-aligned in offset and size
+    ("Slice shape along dimension 0 must be aligned to tiling (1024)"), so
+    on real TPUs every src/dst offset and every run length must be a
+    multiple of 1024 (interpret mode accepts arbitrary values). This is
+    also why a DMA can never fix up runs whose src and dst disagree
+    mod-granule — copies preserve offset modulo the tile — and why the
+    merge kernel (kernels/merge.py) re-aligns data with in-VMEM rolls
+    before emitting. See ROADMAP.md §6.
     """
     if interpret is None:
         interpret = _interpret_default()

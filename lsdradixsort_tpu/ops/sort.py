@@ -16,8 +16,6 @@ Strategies:
     digit-major global scan → stable rank + permute), the direct analog of
     the reference's pass structure (cu:845-906); an XLA-scatter-bound
     correctness scaffold.
-  * ``"composed_dma"`` — the same LSD structure with tile-bitonic digit
-    grouping and the 1-D DMA run-shuffle as the scatter (VERDICT r1 #2).
 
 All sorts are ascending and stable (key-value variants preserve the input
 order of equal keys bit-exactly, verified against the golden model).
@@ -33,7 +31,7 @@ from lsdradixsort_tpu.core.digits import get_digit, num_digit_groups
 from lsdradixsort_tpu.kernels.histogram import block_digit_histograms
 from lsdradixsort_tpu.kernels.scan import exclusive_scan
 
-_STRATEGIES = ("merge", "xla", "composed", "composed_dma")
+_STRATEGIES = ("merge", "xla", "composed")
 
 
 @functools.partial(jax.jit, static_argnames=("strategy", "r", "block_size"))
@@ -51,8 +49,6 @@ def sort(keys: jax.Array, strategy: str = "merge", r: int = 8,
         return jax.lax.sort(keys)
     if strategy == "composed":
         return _composed_lsd_sort(keys, r=r, block_size=block_size)
-    if strategy == "composed_dma":
-        return _composed_dma_sort(keys, r=r)
     raise ValueError(f"unknown strategy {strategy!r}; pick from {_STRATEGIES}")
 
 
@@ -266,48 +262,6 @@ def _composed_pass(keys, payload, r, group, block_size):
         lambda v: jnp.zeros_like(v).at[dst].set(v, unique_indices=True),
         payload)
     return out_keys, out_payload
-
-
-def _composed_dma_sort(keys, r: int = 4, tile_log2: int = 15):
-    """The reference's LSD pass structure with the DMA run-shuffle as the
-    scatter (VERDICT r1 #2): per digit group,
-
-      1. group each 2^15-element tile by digit — Pallas bitonic on the
-         (digit << 15 | position) composite with the keys riding (the
-         reference's in-smem split sort, done tile-wide);
-      2. per-tile digit histograms (C7) -> local + digit-major global
-         exclusive scans (C3/C4/C6);
-      3. move each (tile, digit) run to its global offset with the 1-D
-         DMA run shuffle (C8's scatter, at run granularity).
-
-    Still slower than the merge strategy (per-pass tile grouping costs a
-    full bitonic; runs average 2^(15-r) elements, so the DMA leg runs
-    issue-bound below r=4's 8 KB), but ~20-30x round 1's XLA-scatter
-    spelling and structurally faithful to GPULSDRadixSort (cu:839-910).
-    """
-    from lsdradixsort_tpu.kernels.tile_sort import sort_tiles_kv
-    from lsdradixsort_tpu.kernels.shuffle import shuffle_elem_runs
-    n = keys.shape[0]
-    tile = 1 << tile_log2
-    if n % tile:
-        raise ValueError(f"composed_dma needs n % {tile} == 0 (n={n})")
-    nt = n // tile
-    bins = 1 << r
-    pos = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0) & jnp.uint32(tile - 1)
-    for group in range(num_digit_groups(r)):
-        digits = get_digit(keys, r, group).astype(jnp.uint32)
-        comp = (digits << tile_log2) | pos
-        _, grouped = sort_tiles_kv(comp, keys, tile_rows=tile // 128)
-        hist = block_digit_histograms(keys, r, group, tile)  # (nt, bins)
-        lofs = jnp.cumsum(hist, axis=1, dtype=jnp.uint32) - hist
-        gofs = exclusive_scan(hist.T.reshape(-1).astype(jnp.uint32)) \
-            .reshape(bins, nt)
-        tiles_base = jnp.arange(nt, dtype=jnp.uint32)[:, None] * tile
-        src = (tiles_base + lofs).reshape(-1)
-        dst = gofs.T.reshape(-1)
-        keys = shuffle_elem_runs(grouped, src, dst, hist.reshape(-1),
-                                 out_elems=n, max_len_bits=tile_log2 + 1)
-    return keys
 
 
 def _composed_lsd_sort(keys, r: int, block_size: int):
