@@ -355,10 +355,14 @@ def suite_dist(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
     from lsdradixsort_tpu.ops.sort import sort_with_ranks
     d = len(jax.devices())
     if d == 1:
-        # D=1 exercises the path, but the degenerate single-device
-        # collective program is fragile at size (compile-OOM at 2^24,
-        # runtime FAILED_PRECONDITION at 2^22 on axon); cap hard
-        n_log2 = min(n_log2, 20)
+        # D=1 exercises the path at degenerate mesh size. Bisected in r2
+        # (exp/probe_d1_collectives.py): psum/all_gather/all_to_all/local
+        # sort under shard_map are individually fine through 2^24 and
+        # dist_sort_kv itself passes at 2^22 (round 1's runtime
+        # FAILED_PRECONDITION no longer reproduces); at 2^24 the remote
+        # compile helper crashes (exit 1, no diagnostic) on the full
+        # degenerate-collective program. Cap at the measured-safe 2^22.
+        n_log2 = min(n_log2, 22)
     n = 1 << n_log2
     mesh = make_mesh(d)
     keys = datagen.random_keys(n)
@@ -434,7 +438,8 @@ def main() -> None:
                    help="write <out>.json and <out>.md reports")
     args = p.parse_args()
     rl = roofline.detect()
-    print(f"# device: {rl.device_kind}, HBM roofline {rl.hbm_gbps} GB/s")
+    print(f"# device: {rl.device_kind}, HBM roofline {rl.hbm_gbps} GB/s "
+          f"(measured ceiling; spec {rl.spec_gbps})")
     records, failed = run_suite(args.suite, args.n, args.verify, args.sweep)
     if args.out:
         with open(args.out + ".json", "w") as f:

@@ -20,11 +20,22 @@ _HBM_GBPS = {
     "cpu": 50.0,            # nominal, for host-mesh test runs
 }
 
+# Measured achievable copy ceiling per chip on this runtime, GB/s (r+w).
+# On the axon-tunneled v5e every access pattern — XLA elementwise, Pallas
+# streamed blocks, raw deep-pipelined DMA — saturates at 240-310 GB/s
+# depending on session, far under the 819 spec; see ROADMAP.md §4 and
+# exp/probe_r2_ceiling*.py. Roofline fractions are reported against the
+# measured number (the defended ceiling), with spec kept for reference.
+_MEASURED_GBPS = {
+    "TPU v5 lite": 280.0,   # midpoint of the measured 240-310 range
+}
+
 
 @dataclass
 class Roofline:
     device_kind: str
-    hbm_gbps: float
+    hbm_gbps: float            # measured/defended ceiling used for fractions
+    spec_gbps: float = 0.0     # published spec, for context
 
     def fraction(self, bytes_moved: int, seconds: float) -> float:
         """Fraction of HBM roofline achieved by moving bytes_moved in seconds."""
@@ -38,10 +49,14 @@ class Roofline:
 def detect(device=None) -> Roofline:
     d = device or jax.devices()[0]
     kind = getattr(d, "device_kind", "cpu")
-    gbps = _HBM_GBPS.get(kind)
-    if gbps is None:
-        gbps = next((v for k, v in _HBM_GBPS.items() if k in kind), 819.0)
-    return Roofline(device_kind=kind, hbm_gbps=gbps)
+    spec = _HBM_GBPS.get(kind)
+    if spec is None:
+        spec = next((v for k, v in _HBM_GBPS.items() if k in kind), 819.0)
+    measured = _MEASURED_GBPS.get(kind)
+    if measured is None:
+        measured = next((v for k, v in _MEASURED_GBPS.items() if k in kind),
+                        spec)
+    return Roofline(device_kind=kind, hbm_gbps=measured, spec_gbps=spec)
 
 
 def sort_pass_bytes(n: int, key_bytes: int = 4, value_bytes: int = 0) -> int:
