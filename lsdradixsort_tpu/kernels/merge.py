@@ -44,6 +44,7 @@ KWAY = 8              # fan-in per merge pass
 DEF_BLK = 2048        # default sample stride (elements) = one window block
 DEF_BUF = 1 << 20     # default VMEM merge buffer capacity (elements; 4 MB)
 NCOLS = 24            # scalar-table columns per chunk
+DEPTH = 8             # outstanding window-load DMAs per chunk
 
 
 def _interpret_default() -> bool:
@@ -225,7 +226,7 @@ def _shift_flat_right(x, s: int):
     return jnp.where(lane >= s, rolled, prev)
 
 
-def _merge_kernel(tab_ref, x_hbm, o_hbm, buf, sem, *, bufrows: int,
+def _merge_kernel(tab_ref, x_hbm, o_hbm, buf, sems, *, bufrows: int,
                   blk_rows: int, in_rows: int):
     trow = pl.program_id(0) % 8
     qrows = bufrows // 4
@@ -251,22 +252,32 @@ def _merge_kernel(tab_ref, x_hbm, o_hbm, buf, sem, *, bufrows: int,
                     dma = pltpu.make_async_copy(
                         x_hbm.at[pl.ds(src + pref, sz * blk_rows), :],
                         buf.at[pl.ds(q * qrows + pref, sz * blk_rows), :],
-                        sem)
+                        sems.at[j % DEPTH])
                     dma.start()
                     dma.wait()
-        else:            # B: per-block, mirrored order, packed after A
+        else:            # B: per-block, mirrored order, packed after A;
+            # DEPTH outstanding copies hide the per-descriptor issue cost
             wa = tab_ref[trow, KWAY + s - 1]
 
-            def bbody(b, _, src=src, wblk=wblk, wa=wa, q=q):
+            def mkb(b, src=src, wblk=wblk, wa=wa, q=q):
                 dst = q * qrows + (wa + wblk - 1 - b) * blk_rows
-                dma = pltpu.make_async_copy(
+                return pltpu.make_async_copy(
                     x_hbm.at[pl.ds(src + b * blk_rows, blk_rows), :],
                     buf.at[pl.ds(dst, blk_rows), :],
-                    sem)
-                dma.start()
-                dma.wait()
+                    sems.at[b % DEPTH])
+
+            def bbody(b, _):
+                @pl.when(b >= DEPTH)
+                def _():
+                    mkb(b - DEPTH).wait()
+                mkb(b).start()
                 return 0
             jax.lax.fori_loop(0, wblk, bbody, 0)
+
+            def bdrain(b, _):
+                mkb(b).wait()
+                return 0
+            jax.lax.fori_loop(jnp.maximum(wblk - DEPTH, 0), wblk, bdrain, 0)
 
     x = buf[...]
 
@@ -329,12 +340,12 @@ def _merge_kernel(tab_ref, x_hbm, o_hbm, buf, sem, *, bufrows: int,
             dma = pltpu.make_async_copy(
                 buf.at[pl.ds(e0 + pref, sz), :],
                 o_hbm.at[pl.ds(o0 + pref, sz), :],
-                sem)
+                sems.at[j % DEPTH])
             dma.start()
             dma.wait()
 
 
-def _merge_kernel_kv(tab_ref, k_hbm, v_hbm, ok_hbm, ov_hbm, kbuf, vbuf, sem,
+def _merge_kernel_kv(tab_ref, k_hbm, v_hbm, ok_hbm, ov_hbm, kbuf, vbuf, sems,
                      *, bufrows: int, blk_rows: int, in_rows: int):
     """Key-value variant: the payload stream rides through every move and
     acts as the comparison tiebreak, so when values are unique and ordered
@@ -360,28 +371,43 @@ def _merge_kernel_kv(tab_ref, k_hbm, v_hbm, ok_hbm, ov_hbm, kbuf, vbuf, sem,
                 @pl.when((wblk & sz) != 0)
                 def _(src=src, wblk=wblk, j=j, sz=sz, q=q):
                     pref = ((wblk >> (j + 1)) << (j + 1)) * blk_rows
-                    for hbm, buf in ((k_hbm, kbuf), (v_hbm, vbuf)):
+                    for gi, (hbm, buf) in enumerate(((k_hbm, kbuf),
+                                                     (v_hbm, vbuf))):
                         dma = pltpu.make_async_copy(
                             hbm.at[pl.ds(src + pref, sz * blk_rows), :],
                             buf.at[pl.ds(q * qrows + pref,
                                          sz * blk_rows), :],
-                            sem)
+                            sems.at[(2 * j + gi) % DEPTH])
                         dma.start()
                         dma.wait()
         else:
+            # DEPTH//2 block-pairs outstanding (two streams per block)
             wa = tab_ref[trow, KWAY + s - 1]
 
-            def bbody(b, _, src=src, wblk=wblk, wa=wa, q=q):
+            def mkb(b, gi, src=src, wblk=wblk, wa=wa, q=q):
+                hbm, buf = ((k_hbm, kbuf), (v_hbm, vbuf))[gi]
                 dst = q * qrows + (wa + wblk - 1 - b) * blk_rows
-                for hbm, buf in ((k_hbm, kbuf), (v_hbm, vbuf)):
-                    dma = pltpu.make_async_copy(
-                        hbm.at[pl.ds(src + b * blk_rows, blk_rows), :],
-                        buf.at[pl.ds(dst, blk_rows), :],
-                        sem)
-                    dma.start()
-                    dma.wait()
+                return pltpu.make_async_copy(
+                    hbm.at[pl.ds(src + b * blk_rows, blk_rows), :],
+                    buf.at[pl.ds(dst, blk_rows), :],
+                    sems.at[(2 * b + gi) % DEPTH])
+
+            def bbody(b, _):
+                @pl.when(b >= DEPTH // 2)
+                def _():
+                    mkb(b - DEPTH // 2, 0).wait()
+                    mkb(b - DEPTH // 2, 1).wait()
+                mkb(b, 0).start()
+                mkb(b, 1).start()
                 return 0
             jax.lax.fori_loop(0, wblk, bbody, 0)
+
+            def bdrain(b, _):
+                mkb(b, 0).wait()
+                mkb(b, 1).wait()
+                return 0
+            jax.lax.fori_loop(jnp.maximum(wblk - DEPTH // 2, 0), wblk,
+                              bdrain, 0)
 
     xk = kbuf[...]
     xv = vbuf[...]
@@ -449,11 +475,12 @@ def _merge_kernel_kv(tab_ref, k_hbm, v_hbm, ok_hbm, ov_hbm, kbuf, vbuf, sem,
         @pl.when((ecnt & sz) != 0)
         def _(j=j, sz=sz):
             pref = (ecnt >> (j + 1)) << (j + 1)
-            for buf, hbm in ((kbuf, ok_hbm), (vbuf, ov_hbm)):
+            for gi, (buf, hbm) in enumerate(((kbuf, ok_hbm),
+                                             (vbuf, ov_hbm))):
                 dma = pltpu.make_async_copy(
                     buf.at[pl.ds(e0 + pref, sz), :],
                     hbm.at[pl.ds(o0 + pref, sz), :],
-                    sem)
+                    sems.at[(2 * j + gi) % DEPTH])
                 dma.start()
                 dma.wait()
 
@@ -488,7 +515,7 @@ def merge_pass_kv(keys: jax.Array, vals: jax.Array, tables: jax.Array,
         out_shape=[shape, shape],
         scratch_shapes=[pltpu.VMEM((bufrows, LANES), jnp.uint32),
                         pltpu.VMEM((bufrows, LANES), jnp.uint32),
-                        pltpu.SemaphoreType.DMA],
+                        pltpu.SemaphoreType.DMA((DEPTH,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -523,7 +550,7 @@ def merge_pass(keys: jax.Array, tables: jax.Array, run_len: int,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((bufrows, LANES), jnp.uint32),
-                        pltpu.SemaphoreType.DMA],
+                        pltpu.SemaphoreType.DMA((DEPTH,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
