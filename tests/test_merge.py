@@ -103,24 +103,3 @@ def test_merge_ranks_stability_all_equal():
         jnp.asarray(x), tile_log2=TILE_LOG, max_buf=MAXBUF, blk=BLK)
     np.testing.assert_array_equal(np.asarray(perm),
                                   np.arange(n, dtype=np.uint32))
-
-
-def test_merge_pass_kv_and_ranks(rng):
-    from lsdradixsort_tpu.ops.sort import merge_sort_with_ranks
-    for n in (1 << 13, (1 << 16) - 333):
-        x = rng.integers(0, 50, n, dtype=np.uint32)  # heavy duplicates
-        sk, perm = merge_sort_with_ranks(
-            jnp.asarray(x), tile_log2=TILE_LOG, max_buf=MAXBUF, blk=BLK)
-        want = np.argsort(x, kind="stable")
-        np.testing.assert_array_equal(np.asarray(perm), want.astype(np.uint32))
-        np.testing.assert_array_equal(np.asarray(sk), x[want])
-
-
-def test_merge_ranks_stability_all_equal():
-    from lsdradixsort_tpu.ops.sort import merge_sort_with_ranks
-    n = 1 << 13
-    x = np.full(n, 42, np.uint32)
-    sk, perm = merge_sort_with_ranks(
-        jnp.asarray(x), tile_log2=TILE_LOG, max_buf=MAXBUF, blk=BLK)
-    np.testing.assert_array_equal(np.asarray(perm),
-                                  np.arange(n, dtype=np.uint32))
