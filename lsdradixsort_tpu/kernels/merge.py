@@ -226,8 +226,35 @@ def _shift_flat_right(x, s: int):
     return jnp.where(lane >= s, rolled, prev)
 
 
+def _ce_stage_reshape(key, val, rd: int, desc_bit: int | None, bufrows: int):
+    """One compare-exchange stage at row distance rd (rd >= 8, a whole
+    number of sublane tiles) via the static (g, 2, rd, LANES) half-split
+    view: compare the two halves directly and re-stack — 1 compare + 2
+    selects per stream instead of the roll formulation's 2 rolls + 2
+    selects + compare. desc_bit: bit of the group index whose set value
+    makes the pair descending (None = all ascending)."""
+    g = bufrows // (2 * rd)
+    k4 = key.reshape(g, 2, rd, LANES)
+    a, b = k4[:, 0], k4[:, 1]
+    if val is not None:
+        v4 = val.reshape(g, 2, rd, LANES)
+        av, bv = v4[:, 0], v4[:, 1]
+        t = (b < a) | ((b == a) & (bv < av))
+    else:
+        t = b < a
+    if desc_bit is not None:
+        gi = jax.lax.broadcasted_iota(jnp.int32, (g, rd, LANES), 0)
+        t = t ^ (((gi >> desc_bit) & 1) != 0)
+    key = jnp.stack([jnp.where(t, b, a), jnp.where(t, a, b)],
+                    axis=1).reshape(bufrows, LANES)
+    if val is not None:
+        val = jnp.stack([jnp.where(t, bv, av), jnp.where(t, av, bv)],
+                        axis=1).reshape(bufrows, LANES)
+    return key, val
+
+
 def _merge_kernel(tab_ref, x_hbm, o_hbm, buf, sems, *, bufrows: int,
-                  blk_rows: int, in_rows: int):
+                  blk_rows: int, in_rows: int, ce: str = "roll"):
     trow = pl.program_id(0) % 8
     qrows = bufrows // 4
     # largest power-of-2 block count whose DMA fits both buffers
@@ -306,6 +333,11 @@ def _merge_kernel(tab_ref, x_hbm, o_hbm, buf, sems, *, bufrows: int,
             desc = jnp.zeros((bufrows, LANES), jnp.bool_)
         for j in range(size_bits - 1, -1, -1):
             dist = 1 << j
+            if dist >= 8 * LANES and ce == "reshape":
+                key, _ = _ce_stage_reshape(
+                    key, None, dist // LANES,
+                    size_bits - j - 1 if level < 2 else None, bufrows)
+                continue
             if dist < LANES:
                 is_lower = (lane & dist) == 0
                 pk = jnp.where(is_lower, pltpu.roll(key, LANES - dist, 1),
@@ -346,7 +378,8 @@ def _merge_kernel(tab_ref, x_hbm, o_hbm, buf, sems, *, bufrows: int,
 
 
 def _merge_kernel_kv(tab_ref, k_hbm, v_hbm, ok_hbm, ov_hbm, kbuf, vbuf, sems,
-                     *, bufrows: int, blk_rows: int, in_rows: int):
+                     *, bufrows: int, blk_rows: int, in_rows: int,
+                     ce: str = "roll"):
     """Key-value variant: the payload stream rides through every move and
     acts as the comparison tiebreak, so when values are unique and ordered
     consistently with run order (e.g. the original row index, as in
@@ -436,6 +469,11 @@ def _merge_kernel_kv(tab_ref, k_hbm, v_hbm, ok_hbm, ov_hbm, kbuf, vbuf, sems,
             desc = jnp.zeros((bufrows, LANES), jnp.bool_)
         for j in range(size_bits - 1, -1, -1):
             dist = 1 << j
+            if dist >= 8 * LANES and ce == "reshape":
+                key, val = _ce_stage_reshape(
+                    key, val, dist // LANES,
+                    size_bits - j - 1 if level < 2 else None, bufrows)
+                continue
             if dist < LANES:
                 is_lower = (lane & dist) == 0
                 pk = jnp.where(is_lower, pltpu.roll(key, LANES - dist, 1),
@@ -487,10 +525,10 @@ def _merge_kernel_kv(tab_ref, k_hbm, v_hbm, ok_hbm, ov_hbm, kbuf, vbuf, sems,
 
 @functools.partial(jax.jit,
                    static_argnames=("run_len", "buf_elems", "blk",
-                                    "interpret"))
+                                    "interpret", "ce"))
 def merge_pass_kv(keys: jax.Array, vals: jax.Array, tables: jax.Array,
                   run_len: int, buf_elems: int, blk: int = DEF_BLK,
-                  interpret: bool | None = None):
+                  interpret: bool | None = None, ce: str = "roll"):
     """One KWAY merge pass carrying a payload stream (see _merge_kernel_kv).
 
     Stability contract: within equal keys the merge orders by the PAYLOAD,
@@ -501,7 +539,8 @@ def merge_pass_kv(keys: jax.Array, vals: jax.Array, tables: jax.Array,
     n = keys.shape[0]
     bufrows = buf_elems // LANES
     kern = functools.partial(_merge_kernel_kv, bufrows=bufrows,
-                             blk_rows=blk // LANES, in_rows=n // LANES)
+                             blk_rows=blk // LANES, in_rows=n // LANES,
+                             ce=ce)
     tab_spec = pl.BlockSpec((8, NCOLS), lambda i: (i // 8, 0),
                             memory_space=pltpu.SMEM)
     shape = jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32)
@@ -526,10 +565,11 @@ def merge_pass_kv(keys: jax.Array, vals: jax.Array, tables: jax.Array,
 
 @functools.partial(jax.jit,
                    static_argnames=("run_len", "buf_elems", "blk",
-                                    "interpret"))
+                                    "interpret", "ce"))
 def merge_pass(keys: jax.Array, tables: jax.Array, run_len: int,
                buf_elems: int, blk: int = DEF_BLK,
-               interpret: bool | None = None) -> jax.Array:
+               interpret: bool | None = None,
+               ce: str = "roll") -> jax.Array:
     """Execute one KWAY merge pass given prepass tables.
 
     keys: (n,) uint32, sorted in runs of run_len (n % run_len == 0).
@@ -540,7 +580,8 @@ def merge_pass(keys: jax.Array, tables: jax.Array, run_len: int,
     n = keys.shape[0]
     bufrows = buf_elems // LANES
     kern = functools.partial(_merge_kernel, bufrows=bufrows,
-                             blk_rows=blk // LANES, in_rows=n // LANES)
+                             blk_rows=blk // LANES, in_rows=n // LANES,
+                             ce=ce)
     tab_spec = pl.BlockSpec((8, NCOLS), lambda i: (i // 8, 0),
                             memory_space=pltpu.SMEM)
     out = pl.pallas_call(

@@ -35,6 +35,30 @@ def test_single_pass_tables_and_merge(rng):
     np.testing.assert_array_equal(np.asarray(out), np.sort(x))
 
 
+def test_single_pass_reshape_ce(rng):
+    # the reshape-halves compare-exchange formulation, keys and kv
+    n, L = 1 << 13, 1 << 10
+    x = np.sort(rng.integers(0, 2**32, (8, L), dtype=np.uint32),
+                axis=1).reshape(-1)
+    buf = M.pass_buf_elems(L, MAXBUF)
+    tab, ok = M.merge_pass_tables(jnp.asarray(x), L, buf, BLK)
+    assert bool(ok)
+    out = M.merge_pass(jnp.asarray(x), tab, run_len=L, buf_elems=buf,
+                       blk=BLK, ce="reshape")
+    np.testing.assert_array_equal(np.asarray(out), np.sort(x))
+    # kv: duplicate-heavy keys, iota payload -> stable ranks
+    xd = np.sort((x % 97).astype(np.uint32).reshape(8, L), axis=1).reshape(-1)
+    v = np.arange(n, dtype=np.uint32)
+    tab, ok = M.merge_pass_tables(jnp.asarray(xd), L, buf, BLK)
+    assert bool(ok)
+    ok_, ov = M.merge_pass_kv(jnp.asarray(xd), jnp.asarray(v), tab,
+                              run_len=L, buf_elems=buf, blk=BLK,
+                              ce="reshape")
+    want = np.lexsort((v, xd))
+    np.testing.assert_array_equal(np.asarray(ok_), xd[want])
+    np.testing.assert_array_equal(np.asarray(ov), v[want])
+
+
 def test_multi_chunk_pass(rng):
     # 8 runs of 8192 with buf 8192 -> many chunks per group
     n, L = 1 << 16, 1 << 13
