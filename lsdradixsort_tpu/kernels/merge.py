@@ -39,6 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from lsdradixsort_tpu.kernels.tile_sort import ce_stage_reshape
+
 LANES = 128
 KWAY = 8              # fan-in per merge pass
 DEF_BLK = 2048        # default sample stride (elements) = one window block
@@ -226,31 +228,6 @@ def _shift_flat_right(x, s: int):
     return jnp.where(lane >= s, rolled, prev)
 
 
-def _ce_stage_reshape(key, val, rd: int, desc_bit: int | None, bufrows: int):
-    """One compare-exchange stage at row distance rd (rd >= 8, a whole
-    number of sublane tiles) via the static (g, 2, rd, LANES) half-split
-    view: compare the two halves directly and re-stack — 1 compare + 2
-    selects per stream instead of the roll formulation's 2 rolls + 2
-    selects + compare. desc_bit: bit of the group index whose set value
-    makes the pair descending (None = all ascending)."""
-    g = bufrows // (2 * rd)
-    k4 = key.reshape(g, 2, rd, LANES)
-    a, b = k4[:, 0], k4[:, 1]
-    if val is not None:
-        v4 = val.reshape(g, 2, rd, LANES)
-        av, bv = v4[:, 0], v4[:, 1]
-        t = (b < a) | ((b == a) & (bv < av))
-    else:
-        t = b < a
-    if desc_bit is not None:
-        gi = jax.lax.broadcasted_iota(jnp.int32, (g, rd, LANES), 0)
-        t = t ^ (((gi >> desc_bit) & 1) != 0)
-    key = jnp.stack([jnp.where(t, b, a), jnp.where(t, a, b)],
-                    axis=1).reshape(bufrows, LANES)
-    if val is not None:
-        val = jnp.stack([jnp.where(t, bv, av), jnp.where(t, av, bv)],
-                        axis=1).reshape(bufrows, LANES)
-    return key, val
 
 
 def _merge_kernel(tab_ref, x_hbm, o_hbm, buf, sems, *, bufrows: int,
@@ -334,7 +311,7 @@ def _merge_kernel(tab_ref, x_hbm, o_hbm, buf, sems, *, bufrows: int,
         for j in range(size_bits - 1, -1, -1):
             dist = 1 << j
             if dist >= 8 * LANES and ce == "reshape":
-                key, _ = _ce_stage_reshape(
+                key, _ = ce_stage_reshape(
                     key, None, dist // LANES,
                     size_bits - j - 1 if level < 2 else None, bufrows)
                 continue
@@ -470,7 +447,7 @@ def _merge_kernel_kv(tab_ref, k_hbm, v_hbm, ok_hbm, ov_hbm, kbuf, vbuf, sems,
         for j in range(size_bits - 1, -1, -1):
             dist = 1 << j
             if dist >= 8 * LANES and ce == "reshape":
-                key, val = _ce_stage_reshape(
+                key, val = ce_stage_reshape(
                     key, val, dist // LANES,
                     size_bits - j - 1 if level < 2 else None, bufrows)
                 continue

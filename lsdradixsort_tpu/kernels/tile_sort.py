@@ -34,8 +34,38 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def ce_stage_reshape(key, val, rd: int, desc_bit: int | None, rows: int,
+                     compare_val: bool = True):
+    """One compare-exchange stage at row distance rd (rd >= 8, a whole
+    number of sublane tiles) via the static (g, 2, rd, LANES) half-split
+    view: compare the two halves directly and re-stack — 1 compare + 2
+    selects per stream vs the roll formulation's 2 rolls + compare + 2
+    selects. desc_bit: bit of the group index whose set value makes the
+    pair descending (None = all ascending). Ties never swap under
+    compare_val=False, matching the roll formulation exactly."""
+    g = rows // (2 * rd)
+    k4 = key.reshape(g, 2, rd, LANES)
+    a, b = k4[:, 0], k4[:, 1]
+    if val is not None:
+        v4 = val.reshape(g, 2, rd, LANES)
+        av, bv = v4[:, 0], v4[:, 1]
+    if compare_val and val is not None:
+        t = (b < a) | ((b == a) & (bv < av))
+    else:
+        t = b < a
+    if desc_bit is not None:
+        gi = jax.lax.broadcasted_iota(jnp.int32, (g, rd, LANES), 0)
+        t = t ^ (((gi >> desc_bit) & 1) != 0)
+    key = jnp.stack([jnp.where(t, b, a), jnp.where(t, a, b)],
+                    axis=1).reshape(rows, LANES)
+    if val is not None:
+        val = jnp.stack([jnp.where(t, bv, av), jnp.where(t, av, bv)],
+                        axis=1).reshape(rows, LANES)
+    return key, val
+
+
 def bitonic_network(key, val, rows: int, compare_val: bool = True,
-                    seg_elems: int | None = None):
+                    seg_elems: int | None = None, ce: str = "roll"):
     """In-kernel bitonic sorting network on a (rows, 128) int32 key array
     with an optional riding payload. Usable from any Pallas kernel body.
 
@@ -43,7 +73,8 @@ def bitonic_network(key, val, rows: int, compare_val: bool = True,
     bias if needed). val: payload, compared as tiebreak iff compare_val
     (pass unique values for stability). seg_elems limits the network to
     sorting each seg_elems-sized row-major segment independently (the
-    segmented form used by compaction / bucket sorts).
+    segmented form used by compaction / bucket sorts). ce='reshape' runs
+    row stages (dist >= 1024) through the half-split formulation.
     """
     n = rows * LANES
     seg = seg_elems or n
@@ -53,6 +84,12 @@ def bitonic_network(key, val, rows: int, compare_val: bool = True,
     for kph in range(1, nbits + 1):
         for j in range(kph - 1, -1, -1):
             dist = 1 << j
+            if dist >= 8 * LANES and ce == "reshape":
+                key, val = ce_stage_reshape(
+                    key, val, dist // LANES,
+                    kph - 1 - j if kph < nbits else None, rows,
+                    compare_val)
+                continue
             is_lower = (flat & dist) == 0
             if kph < nbits:
                 asc = (flat & (1 << kph)) == 0
@@ -84,20 +121,21 @@ def bitonic_network(key, val, rows: int, compare_val: bool = True,
     return key, val
 
 
-def _bitonic_kernel(k_ref, v_ref, ok_ref, ov_ref, *, rows: int):
+def _bitonic_kernel(k_ref, v_ref, ok_ref, ov_ref, *, rows: int,
+                    ce: str = "roll"):
     """Sort one (rows, 128) tile by (key, val) ascending, row-major order."""
     bias = jnp.full((rows, LANES), -2147483648, jnp.int32)
     key = k_ref[...].reshape(rows, LANES).astype(jnp.int32) ^ bias
     val = v_ref[...].reshape(rows, LANES).astype(jnp.int32)
-    key, val = bitonic_network(key, val, rows)
+    key, val = bitonic_network(key, val, rows, ce=ce)
     ok_ref[...] = (key ^ bias).astype(jnp.uint32).reshape(1, rows, LANES)
     ov_ref[...] = val.astype(jnp.uint32).reshape(1, rows, LANES)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tile_rows", "interpret"))
+                   static_argnames=("tile_rows", "interpret", "ce"))
 def sort_tiles_kv(keys: jax.Array, values: jax.Array, tile_rows: int = 128,
-                  interpret: bool | None = None):
+                  interpret: bool | None = None, ce: str = "roll"):
     """Stable (key, value)-sort within each tile of `tile_rows * 128` elems.
 
     keys/values: uint32 (n,), n % (tile_rows * 128) == 0; tile_rows a power
@@ -116,7 +154,7 @@ def sort_tiles_kv(keys: jax.Array, values: jax.Array, tile_rows: int = 128,
     if interpret is None:
         interpret = _interpret_default()
     nt = n // tile
-    kern = functools.partial(_bitonic_kernel, rows=tile_rows)
+    kern = functools.partial(_bitonic_kernel, rows=tile_rows, ce=ce)
     spec = pl.BlockSpec((1, tile_rows, LANES), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     ok, ov = pl.pallas_call(
@@ -131,20 +169,22 @@ def sort_tiles_kv(keys: jax.Array, values: jax.Array, tile_rows: int = 128,
     return ok.reshape(n), ov.reshape(n)
 
 
-def _bitonic_keys_kernel(k_ref, ok_ref, *, rows: int):
+def _bitonic_keys_kernel(k_ref, ok_ref, *, rows: int, ce: str = "roll"):
     """Keys-only tile sort: no payload stream, and ties need no break —
     equal keys compare not-less on both pair halves, so neither swaps
     (consistent and correct since the values are identical). ~2x the kv
     kernel's stage rate."""
     bias = jnp.full((rows, LANES), -2147483648, jnp.int32)
     key = k_ref[...].reshape(rows, LANES).astype(jnp.int32) ^ bias
-    key, _ = bitonic_network(key, None, rows)
+    key, _ = bitonic_network(key, None, rows, ce=ce)
     ok_ref[...] = (key ^ bias).astype(jnp.uint32).reshape(1, rows, LANES)
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("tile_rows", "interpret", "ce"))
 def sort_tiles(keys: jax.Array, tile_rows: int = 128,
-               interpret: bool | None = None) -> jax.Array:
+               interpret: bool | None = None,
+               ce: str = "roll") -> jax.Array:
     """Sort uint32 keys ascending within each tile (keys-only)."""
     n = keys.shape[0]
     tile = tile_rows * LANES
@@ -157,7 +197,7 @@ def sort_tiles(keys: jax.Array, tile_rows: int = 128,
     spec = pl.BlockSpec((1, tile_rows, LANES), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     ok = pl.pallas_call(
-        functools.partial(_bitonic_keys_kernel, rows=tile_rows),
+        functools.partial(_bitonic_keys_kernel, rows=tile_rows, ce=ce),
         grid=(nt,),
         in_specs=[spec],
         out_specs=spec,

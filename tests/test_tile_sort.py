@@ -30,6 +30,30 @@ def test_sort_tiles_kv_stable(tile_rows, ntiles):
                                       perm.astype(np.uint32) + t * tile)
 
 
+@pytest.mark.parametrize("tile_rows,ntiles", [(32, 2), (128, 1)])
+def test_sort_tiles_kv_stable_reshape_ce(tile_rows, ntiles):
+    # the reshape-halves CE path covers row stages at dist >= 1024
+    n = tile_rows * 128 * ntiles
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 100, n, dtype=np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    ok, ov = sort_tiles_kv(jnp.asarray(keys), jnp.asarray(vals),
+                           tile_rows=tile_rows, ce="reshape")
+    tile = tile_rows * 128
+    for t in range(ntiles):
+        seg = keys[t * tile:(t + 1) * tile]
+        perm = np.argsort(seg, kind="stable")
+        np.testing.assert_array_equal(np.asarray(ok)[t * tile:(t + 1) * tile],
+                                      seg[perm])
+        np.testing.assert_array_equal(np.asarray(ov)[t * tile:(t + 1) * tile],
+                                      perm.astype(np.uint32) + t * tile)
+    ok = sort_tiles(jnp.asarray(keys), tile_rows=tile_rows, ce="reshape")
+    for t in range(ntiles):
+        np.testing.assert_array_equal(
+            np.asarray(ok)[t * tile:(t + 1) * tile],
+            np.sort(keys[t * tile:(t + 1) * tile]))
+
+
 def test_sort_tiles_keys_full_range():
     n = 16 * 128
     rng = np.random.default_rng(0)
