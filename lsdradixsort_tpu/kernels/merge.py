@@ -387,11 +387,12 @@ def _merge_kernel_kv(tab_ref, k_hbm, v_hbm, ok_hbm, ov_hbm, kbuf, vbuf, sems,
                             hbm.at[pl.ds(src + pref, sz * blk_rows), :],
                             buf.at[pl.ds(q * qrows + pref,
                                          sz * blk_rows), :],
-                            sems.at[(2 * j + gi) % DEPTH])
+                            sems.at[(2 * j + gi) % (2 * DEPTH)])
                         dma.start()
                         dma.wait()
         else:
-            # DEPTH//2 block-pairs outstanding (two streams per block)
+            # DEPTH block-pairs outstanding (two streams per block; the
+            # semaphore pool is 2*DEPTH so kv matches the keys path depth)
             wa = tab_ref[trow, KWAY + s - 1]
 
             def mkb(b, gi, src=src, wblk=wblk, wa=wa, q=q):
@@ -400,13 +401,13 @@ def _merge_kernel_kv(tab_ref, k_hbm, v_hbm, ok_hbm, ov_hbm, kbuf, vbuf, sems,
                 return pltpu.make_async_copy(
                     hbm.at[pl.ds(src + b * blk_rows, blk_rows), :],
                     buf.at[pl.ds(dst, blk_rows), :],
-                    sems.at[(2 * b + gi) % DEPTH])
+                    sems.at[(2 * b + gi) % (2 * DEPTH)])
 
             def bbody(b, _):
-                @pl.when(b >= DEPTH // 2)
+                @pl.when(b >= DEPTH)
                 def _():
-                    mkb(b - DEPTH // 2, 0).wait()
-                    mkb(b - DEPTH // 2, 1).wait()
+                    mkb(b - DEPTH, 0).wait()
+                    mkb(b - DEPTH, 1).wait()
                 mkb(b, 0).start()
                 mkb(b, 1).start()
                 return 0
@@ -416,7 +417,7 @@ def _merge_kernel_kv(tab_ref, k_hbm, v_hbm, ok_hbm, ov_hbm, kbuf, vbuf, sems,
                 mkb(b, 0).wait()
                 mkb(b, 1).wait()
                 return 0
-            jax.lax.fori_loop(jnp.maximum(wblk - DEPTH // 2, 0), wblk,
+            jax.lax.fori_loop(jnp.maximum(wblk - DEPTH, 0), wblk,
                               bdrain, 0)
 
     xk = kbuf[...]
@@ -495,7 +496,7 @@ def _merge_kernel_kv(tab_ref, k_hbm, v_hbm, ok_hbm, ov_hbm, kbuf, vbuf, sems,
                 dma = pltpu.make_async_copy(
                     buf.at[pl.ds(e0 + pref, sz), :],
                     hbm.at[pl.ds(o0 + pref, sz), :],
-                    sems.at[(2 * j + gi) % DEPTH])
+                    sems.at[(2 * j + gi) % (2 * DEPTH)])
                 dma.start()
                 dma.wait()
 
@@ -531,7 +532,7 @@ def merge_pass_kv(keys: jax.Array, vals: jax.Array, tables: jax.Array,
         out_shape=[shape, shape],
         scratch_shapes=[pltpu.VMEM((bufrows, LANES), jnp.uint32),
                         pltpu.VMEM((bufrows, LANES), jnp.uint32),
-                        pltpu.SemaphoreType.DMA((DEPTH,))],
+                        pltpu.SemaphoreType.DMA((2 * DEPTH,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
