@@ -55,7 +55,8 @@ def sort(keys: jax.Array, strategy: str = "merge", r: int = 8,
 def merge_sort_keys(keys: jax.Array, tile_log2: int = 15,
                     max_buf: int | None = None,
                     blk: int | None = None,
-                    skew_fallback: bool = True):
+                    skew_fallback: bool = True,
+                    ce: str = "roll"):
     """The framework sort: tile sort + 8-way merge passes (kernels/merge.py).
 
     Any n >= 1 (padded internally with 0xFFFFFFFF sentinels). tile_log2 /
@@ -83,7 +84,7 @@ def merge_sort_keys(keys: jax.Array, tile_log2: int = 15,
     x = keys if npad == n else jnp.concatenate(
         [keys, jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)])
     ok_all = jnp.bool_(True)
-    x = sort_tiles(x, tile_rows=tile // 128)
+    x = sort_tiles(x, tile_rows=tile // 128, ce=ce)
     run = tile
     # NOTE (2^30 on a 16 GB chip): XLA retires each pass's buffers two
     # passes late, so the 5-pass single-graph peak is 4 live 4 GB buffers
@@ -97,12 +98,13 @@ def merge_sort_keys(keys: jax.Array, tile_log2: int = 15,
             x = jax.lax.cond(
                 ok,
                 lambda x, tab: M.merge_pass(x, tab, run_len=run,
-                                            buf_elems=buf, blk=blk),
+                                            buf_elems=buf, blk=blk, ce=ce),
                 lambda x, tab: jax.lax.sort(x),
                 x, tab)
         else:
             ok_all = ok_all & ok
-            x = M.merge_pass(x, tab, run_len=run, buf_elems=buf, blk=blk)
+            x = M.merge_pass(x, tab, run_len=run, buf_elems=buf, blk=blk,
+                             ce=ce)
         run *= M.KWAY
     x = x[:n] if npad != n else x
     return x if skew_fallback else (x, ok_all)
@@ -110,7 +112,8 @@ def merge_sort_keys(keys: jax.Array, tile_log2: int = 15,
 
 def merge_sort_with_ranks(keys: jax.Array, tile_log2: int = 15,
                           max_buf: int | None = None,
-                          blk: int | None = None):
+                          blk: int | None = None,
+                          ce: str = "roll"):
     """Framework stable kv sort: returns (sorted_keys, original_positions).
 
     The row index rides as the payload through the tile sort and every
@@ -133,7 +136,7 @@ def merge_sort_with_ranks(keys: jax.Array, tile_log2: int = 15,
     # pad rows carry iotas >= n: among equal sentinel keys the real rows
     # (iota < n) sort first, so x[:n] keeps exactly the real rows
     iota = jax.lax.broadcasted_iota(jnp.uint32, (npad,), 0)
-    x, v = sort_tiles_kv(x, iota, tile_rows=tile // 128)
+    x, v = sort_tiles_kv(x, iota, tile_rows=tile // 128, ce=ce)
     run = tile
     while run < npad:
         buf = M.pass_buf_elems(run, max_buf)
@@ -141,7 +144,7 @@ def merge_sort_with_ranks(keys: jax.Array, tile_log2: int = 15,
         x, v = jax.lax.cond(
             ok,
             lambda x, v, tab: M.merge_pass_kv(x, v, tab, run_len=run,
-                                              buf_elems=buf, blk=blk),
+                                              buf_elems=buf, blk=blk, ce=ce),
             lambda x, v, tab: jax.lax.sort((x, v), num_keys=2,
                                            is_stable=False),
             x, v, tab)
