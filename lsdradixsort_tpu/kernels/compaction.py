@@ -48,8 +48,17 @@ def _shift_flat_right(x, s: int):
     return jnp.where(lane >= s, rolled, prev)
 
 
-def _compact_kernel(m_ref, x_ref, o_hbm, ebuf, pend, carry, sem, *,
-                    rows: int, ntiles: int):
+def _compact_kernel(m_ref, *refs, rows: int, ntiles: int, k: int):
+    """k-stream compaction grid step: one bitonic partition of the
+    composite (predicate, position) key with all k payload streams riding,
+    then per-stream carry-prepend + row-aligned DMA emit. refs layout:
+    x_refs[k], o_hbms[k], ebufs[k], pends[k], carry, sems."""
+    x_refs = refs[:k]
+    o_hbms = refs[k:2 * k]
+    ebufs = refs[2 * k:3 * k]
+    pends = refs[3 * k:4 * k]
+    carry = refs[4 * k]
+    sems = refs[4 * k + 1]
     step = pl.program_id(0)
     erows = rows + SPILL_ROWS
 
@@ -57,71 +66,118 @@ def _compact_kernel(m_ref, x_ref, o_hbm, ebuf, pend, carry, sem, *,
     def _():
         carry[0] = jnp.int32(0)      # output row cursor
         carry[1] = jnp.int32(0)      # pending element count
-        pend[...] = jnp.zeros((SPILL_ROWS, LANES), jnp.uint32)
+        for pend in pends:
+            pend[...] = jnp.zeros((SPILL_ROWS, LANES), jnp.uint32)
 
     mask = m_ref[0].reshape(rows, LANES)
-    data = x_ref[0].reshape(rows, LANES)
+    datas = [x_ref[0].reshape(rows, LANES).astype(jnp.int32)
+             for x_ref in x_refs]
     pos = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
            + jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 1))
     comp = jnp.where(mask != 0, pos, pos + rows * LANES)
-    comp, sorted_data = bitonic_network(comp, data.astype(jnp.int32), rows,
-                                        compare_val=False)
+    comp, sorted_datas = bitonic_network(comp, datas, rows,
+                                         compare_val=False)
     cnt = jnp.sum((mask != 0).astype(jnp.int32))
 
     np_ = carry[1]
     orow = carry[0]
     total = np_ + cnt
-
-    # place sorted tile into ebuf rows [0, rows), zero the spill rows,
-    # then flat-roll right by the pending count so the leftover elements'
-    # slot opens up at the front (the roll spills into the zeroed rows
-    # instead of wrapping data away)
-    ebuf[pl.ds(0, rows), :] = sorted_data.astype(jnp.uint32)
-    ebuf[pl.ds(rows, SPILL_ROWS), :] = jnp.zeros((SPILL_ROWS, LANES),
-                                                 jnp.uint32)
-    x = ebuf[...]
-    for j in range(6, -1, -1):
-        sz = 1 << j
-        x = jnp.where((np_ & sz) != 0, _shift_flat_right(x, sz), x)
-    row = jax.lax.broadcasted_iota(jnp.int32, (erows, LANES), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (erows, LANES), 1)
-    pj = jnp.broadcast_to(pend[0:1, :], (erows, LANES))
-    x = jnp.where((row == 0) & (lane < np_), pj, x)
-    ebuf[...] = x
-
     emit = total >> 7
     last = step == ntiles - 1
-
-    # on the final tile, zero the tail of the partial row and emit it too
-    @pl.when(last)
-    def _():
-        flat = row * LANES + lane
-        xz = jnp.where(flat < total, ebuf[...], jnp.uint32(0))
-        ebuf[...] = xz
-
     emit_n = jnp.where(last, (total + LANES - 1) >> 7, emit)
+    row = jax.lax.broadcasted_iota(jnp.int32, (erows, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (erows, LANES), 1)
+
+    for si in range(k):
+        ebuf, pend = ebufs[si], pends[si]
+        # place sorted tile into ebuf rows [0, rows), zero the spill rows,
+        # then flat-roll right by the pending count so the leftover
+        # elements' slot opens up at the front (the roll spills into the
+        # zeroed rows instead of wrapping data away)
+        ebuf[pl.ds(0, rows), :] = sorted_datas[si].astype(jnp.uint32)
+        ebuf[pl.ds(rows, SPILL_ROWS), :] = jnp.zeros((SPILL_ROWS, LANES),
+                                                     jnp.uint32)
+        x = ebuf[...]
+        for j in range(6, -1, -1):
+            sz = 1 << j
+            x = jnp.where((np_ & sz) != 0, _shift_flat_right(x, sz), x)
+        pj = jnp.broadcast_to(pend[0:1, :], (erows, LANES))
+        x = jnp.where((row == 0) & (lane < np_), pj, x)
+        # on the final tile, zero the tail of the partial row (emitted too)
+        x = jnp.where(last & (row * LANES + lane >= total), jnp.uint32(0), x)
+        ebuf[...] = x
+
     for j in range(erows.bit_length() - 1, -1, -1):
         sz = 1 << j
 
         @pl.when((emit_n & sz) != 0)
         def _(j=j, sz=sz):
             pref = (emit_n >> (j + 1)) << (j + 1)
-            dma = pltpu.make_async_copy(
-                ebuf.at[pl.ds(pref, sz), :],
-                o_hbm.at[pl.ds(orow + pref, sz), :],
-                sem)
-            dma.start()
-            dma.wait()
+            dmas = [pltpu.make_async_copy(
+                ebufs[si].at[pl.ds(pref, sz), :],
+                o_hbms[si].at[pl.ds(orow + pref, sz), :],
+                sems.at[si]) for si in range(k)]
+            for dma in dmas:
+                dma.start()
+            for dma in dmas:
+                dma.wait()
 
     # keep the remainder (< 128 elements) as the new pending row: roll the
     # buffer up by `emit` rows and take row 0
-    x = ebuf[...]
-    for j in range(erows.bit_length() - 1, -1, -1):
-        sz = 1 << j
-        x = jnp.where((emit & sz) != 0, pltpu.roll(x, erows - sz, 0), x)
-    pend[...] = x[0:SPILL_ROWS, :]
+    for si in range(k):
+        x = ebufs[si][...]
+        for j in range(erows.bit_length() - 1, -1, -1):
+            sz = 1 << j
+            x = jnp.where((emit & sz) != 0, pltpu.roll(x, erows - sz, 0), x)
+        pends[si][...] = x[0:SPILL_ROWS, :]
     carry[0] = orow + emit
     carry[1] = total & (LANES - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def compact_stream_multi(mask: jax.Array, xs,
+                         interpret: bool | None = None):
+    """Order-preserving compaction of k streams by one mask, in ONE pass.
+
+    xs: tuple/list of (n,) uint32 arrays. Returns a list of packed (n,)
+    uint32 arrays: in each, the first sum(mask) elements are that stream's
+    selected elements in original order; the tail is unspecified. n must
+    be a multiple of 32768 (ops/filter pads with mask=0). The bitonic
+    partition runs once with all payloads riding — k-stream cost is far
+    below k single-stream passes."""
+    if interpret is None:
+        interpret = _interpret_default()
+    xs = list(xs)
+    k = len(xs)
+    n = xs[0].shape[0]
+    rows = TILE_ROWS
+    tile = rows * LANES
+    if n % tile:
+        raise ValueError(f"n={n} must be a multiple of {tile}")
+    nt = n // tile
+    kern = functools.partial(_compact_kernel, rows=rows, ntiles=nt, k=k)
+    spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nt,),
+        in_specs=[spec] * (1 + k),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * k,
+        out_shape=[shape] * k,
+        scratch_shapes=(
+            [pltpu.VMEM((rows + SPILL_ROWS, LANES), jnp.uint32)] * k
+            + [pltpu.VMEM((SPILL_ROWS, LANES), jnp.uint32)] * k
+            + [pltpu.SMEM((2,), jnp.int32),
+               pltpu.SemaphoreType.DMA((max(k, 1),))]),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(mask.astype(jnp.uint32).reshape(nt, rows, LANES),
+      *[x.reshape(nt, rows, LANES) for x in xs])
+    outs = outs if isinstance(outs, (tuple, list)) else [outs]
+    return [o.reshape(n) for o in outs]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -133,31 +189,4 @@ def compact_stream(mask: jax.Array, x: jax.Array,
     selected elements in original order; the tail is unspecified. n must
     be a multiple of 32768 (ops/filter pads with mask=0).
     """
-    if interpret is None:
-        interpret = _interpret_default()
-    n = x.shape[0]
-    rows = TILE_ROWS
-    tile = rows * LANES
-    if n % tile:
-        raise ValueError(f"n={n} must be a multiple of {tile}")
-    nt = n // tile
-    kern = functools.partial(_compact_kernel, rows=rows, ntiles=nt)
-    spec = pl.BlockSpec((1, rows, LANES), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kern,
-        grid=(nt,),
-        in_specs=[spec, spec],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((rows + SPILL_ROWS, LANES), jnp.uint32),
-                        pltpu.VMEM((SPILL_ROWS, LANES), jnp.uint32),
-                        pltpu.SMEM((2,), jnp.int32),
-                        pltpu.SemaphoreType.DMA],
-        compiler_params=pltpu.CompilerParams(
-            has_side_effects=True,
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(mask.astype(jnp.uint32).reshape(nt, rows, LANES),
-      x.reshape(nt, rows, LANES))
-    return out.reshape(n)
+    return compact_stream_multi(mask, [x], interpret=interpret)[0]

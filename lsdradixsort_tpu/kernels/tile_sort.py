@@ -34,6 +34,16 @@ def _interpret_default() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _as_val_list(val):
+    """Normalize the payload argument: None | array | tuple/list of arrays
+    -> (list, was_single)."""
+    if val is None:
+        return [], False
+    if isinstance(val, (tuple, list)):
+        return list(val), False
+    return [val], True
+
+
 def ce_stage_reshape(key, val, rd: int, desc_bit: int | None, rows: int,
                      compare_val: bool = True):
     """One compare-exchange stage at row distance rd (rd >= 8, a whole
@@ -42,14 +52,18 @@ def ce_stage_reshape(key, val, rd: int, desc_bit: int | None, rows: int,
     selects per stream vs the roll formulation's 2 rolls + compare + 2
     selects. desc_bit: bit of the group index whose set value makes the
     pair descending (None = all ascending). Ties never swap under
-    compare_val=False, matching the roll formulation exactly."""
+    compare_val=False, matching the roll formulation exactly.
+
+    val may be a single payload array or a tuple/list of them; the first
+    payload is the comparison tiebreak iff compare_val."""
+    vals, single = _as_val_list(val)
     g = rows // (2 * rd)
     k4 = key.reshape(g, 2, rd, LANES)
     a, b = k4[:, 0], k4[:, 1]
-    if val is not None:
-        v4 = val.reshape(g, 2, rd, LANES)
-        av, bv = v4[:, 0], v4[:, 1]
-    if compare_val and val is not None:
+    halves = [(v.reshape(g, 2, rd, LANES)[:, 0],
+               v.reshape(g, 2, rd, LANES)[:, 1]) for v in vals]
+    if compare_val and vals:
+        av, bv = halves[0]
         t = (b < a) | ((b == a) & (bv < av))
     else:
         t = b < a
@@ -58,10 +72,12 @@ def ce_stage_reshape(key, val, rd: int, desc_bit: int | None, rows: int,
         t = t ^ (((gi >> desc_bit) & 1) != 0)
     key = jnp.stack([jnp.where(t, b, a), jnp.where(t, a, b)],
                     axis=1).reshape(rows, LANES)
-    if val is not None:
-        val = jnp.stack([jnp.where(t, bv, av), jnp.where(t, av, bv)],
-                        axis=1).reshape(rows, LANES)
-    return key, val
+    out_vals = [jnp.stack([jnp.where(t, bv, av), jnp.where(t, av, bv)],
+                          axis=1).reshape(rows, LANES)
+                for av, bv in halves]
+    if not vals:
+        return key, None
+    return key, (out_vals[0] if single else out_vals)
 
 
 def bitonic_network(key, val, rows: int, compare_val: bool = True,
@@ -70,12 +86,15 @@ def bitonic_network(key, val, rows: int, compare_val: bool = True,
     with an optional riding payload. Usable from any Pallas kernel body.
 
     key: (rows, 128) int32 (caller applies the uint32 order-isomorphic
-    bias if needed). val: payload, compared as tiebreak iff compare_val
-    (pass unique values for stability). seg_elems limits the network to
-    sorting each seg_elems-sized row-major segment independently (the
-    segmented form used by compaction / bucket sorts). ce='reshape' runs
-    row stages (dist >= 1024) through the half-split formulation.
+    bias if needed). val: payload — a single array or a tuple/list of
+    arrays riding the exchanges; the FIRST is compared as tiebreak iff
+    compare_val (pass unique values for stability). seg_elems limits the
+    network to sorting each seg_elems-sized row-major segment
+    independently (the segmented form used by compaction / bucket sorts).
+    ce='reshape' runs row stages (dist >= 1024) through the half-split
+    formulation.
     """
+    vals, single = _as_val_list(val)
     n = rows * LANES
     seg = seg_elems or n
     flat = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
@@ -85,10 +104,11 @@ def bitonic_network(key, val, rows: int, compare_val: bool = True,
         for j in range(kph - 1, -1, -1):
             dist = 1 << j
             if dist >= 8 * LANES and ce == "reshape":
-                key, val = ce_stage_reshape(
-                    key, val, dist // LANES,
+                key, vals = ce_stage_reshape(
+                    key, vals, dist // LANES,
                     kph - 1 - j if kph < nbits else None, rows,
                     compare_val)
+                vals = [] if vals is None else vals
                 continue
             is_lower = (flat & dist) == 0
             if kph < nbits:
@@ -99,26 +119,25 @@ def bitonic_network(key, val, rows: int, compare_val: bool = True,
             if dist < LANES:
                 pk = jnp.where(is_lower, pltpu.roll(key, LANES - dist, 1),
                                pltpu.roll(key, dist, 1))
-                if val is not None:
-                    pv = jnp.where(is_lower, pltpu.roll(val, LANES - dist, 1),
-                                   pltpu.roll(val, dist, 1))
+                pvs = [jnp.where(is_lower, pltpu.roll(v, LANES - dist, 1),
+                                 pltpu.roll(v, dist, 1)) for v in vals]
             else:
                 rd = dist // LANES
                 pk = jnp.where(is_lower, pltpu.roll(key, rows - rd, 0),
                                pltpu.roll(key, rd, 0))
-                if val is not None:
-                    pv = jnp.where(is_lower, pltpu.roll(val, rows - rd, 0),
-                                   pltpu.roll(val, rd, 0))
-            if compare_val and val is not None:
+                pvs = [jnp.where(is_lower, pltpu.roll(v, rows - rd, 0),
+                                 pltpu.roll(v, rd, 0)) for v in vals]
+            if compare_val and vals:
                 # lexicographic (key, val); unique vals => consistent swap
-                take_p = (pk < key) | ((pk == key) & (pv < val))
+                take_p = (pk < key) | ((pk == key) & (pvs[0] < vals[0]))
             else:
                 take_p = pk < key
             swap = take_p == want_small
             key = jnp.where(swap, pk, key)
-            if val is not None:
-                val = jnp.where(swap, pv, val)
-    return key, val
+            vals = [jnp.where(swap, pv, v) for pv, v in zip(pvs, vals)]
+    if not vals:
+        return key, None
+    return key, (vals[0] if single else vals)
 
 
 def _bitonic_kernel(k_ref, v_ref, ok_ref, ov_ref, *, rows: int,

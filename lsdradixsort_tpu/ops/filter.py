@@ -24,11 +24,12 @@ def compact(mask: jax.Array, *arrays):
     preserved (stable), matching the golden model bit-exactly on the first
     `count` rows. The tail beyond `count` is unspecified.
 
-    Large inputs stream through the Pallas compaction kernel (one pass per
-    array, ~4x the round-1 sort-based spelling); small ones keep the
+    Large inputs stream through the Pallas compaction kernel — ONE pass
+    with every array riding the same bitonic partition
+    (kernels/compaction.compact_stream_multi); small ones keep the
     sort-based path (grid overheads dominate below one tile).
     """
-    from lsdradixsort_tpu.kernels.compaction import compact_stream
+    from lsdradixsort_tpu.kernels.compaction import compact_stream_multi
     n = mask.shape[0]
     count = jnp.sum(mask, dtype=jnp.uint32)
     if n >= _STREAM_TILE:
@@ -37,12 +38,13 @@ def compact(mask: jax.Array, *arrays):
         if npad != n:
             m = jnp.concatenate(
                 [m, jnp.zeros((npad - n,), jnp.uint32)])
-        outs = []
+        padded = []
         for a in arrays:
             ap = a if npad == n else jnp.concatenate(
                 [a, jnp.zeros((npad - n,), a.dtype)])
-            outs.append(compact_stream(m, ap.astype(jnp.uint32))[:n]
-                        .astype(a.dtype))
+            padded.append(ap.astype(jnp.uint32))
+        packed = compact_stream_multi(m, padded)
+        outs = [p[:n].astype(a.dtype) for p, a in zip(packed, arrays)]
         return (count, *outs)
     sort_key = jnp.where(mask, jnp.uint32(0), jnp.uint32(1))
     # unstable 2-key sort with a unique iota tiebreak == stable 1-key sort,

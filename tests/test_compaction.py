@@ -29,6 +29,19 @@ def test_compact_stream_carry_chains(rng):
     np.testing.assert_array_equal(out[:cnt], x[mask.astype(bool)])
 
 
+def test_compact_stream_multi_three(rng):
+    from lsdradixsort_tpu.kernels.compaction import compact_stream_multi
+    n = 2 << 15
+    xs = [rng.integers(0, 2**32, n, dtype=np.uint32) for _ in range(3)]
+    mask = (rng.random(n) < 0.3).astype(np.uint32)
+    outs = compact_stream_multi(jnp.asarray(mask),
+                                [jnp.asarray(x) for x in xs])
+    cnt = int(mask.sum())
+    for x, out in zip(xs, outs):
+        np.testing.assert_array_equal(np.asarray(out)[:cnt],
+                                      x[mask.astype(bool)])
+
+
 def test_filter_ops_large(rng):
     n = (1 << 16) + 12345    # non-multiple of the stream tile
     keys = rng.integers(0, 2**32, n, dtype=np.uint32)
