@@ -354,21 +354,26 @@ def _merge_kernel(tab_ref, x_hbm, o_hbm, buf, sems, *, bufrows: int,
             dma.wait()
 
 
-def _merge_kernel_kv(tab_ref, k_hbm, v_hbm, ok_hbm, ov_hbm, kbuf, vbuf, sems,
-                     *, bufrows: int, blk_rows: int, in_rows: int,
-                     ce: str = "roll"):
-    """Key-value variant: the payload stream rides through every move and
-    acts as the comparison tiebreak, so when values are unique and ordered
+def _merge_kernel_multi(tab_ref, *refs, bufrows: int, blk_rows: int,
+                        in_rows: int, ce: str, ns: int):
+    """Multi-stream variant: ns = 1 + #payload streams. The FIRST payload
+    acts as the comparison tiebreak, so when it is unique and ordered
     consistently with run order (e.g. the original row index, as in
-    sort_with_ranks) the merge is stable."""
+    sort_with_ranks) the merge is a stable key sort; further payloads ride
+    the exchanges uncompared. refs layout: in_hbms[ns], out_hbms[ns],
+    bufs[ns], sems (pool of ns*DEPTH)."""
+    in_hbms = refs[:ns]
+    out_hbms = refs[ns:2 * ns]
+    bufs = refs[2 * ns:3 * ns]
+    sems = refs[3 * ns]
     trow = pl.program_id(0) % 8
     qrows = bufrows // 4
     max_ablk = min(qrows, in_rows) // blk_rows
     abits = max_ablk.bit_length() - 1 if max_ablk else 0
     ebits = min(bufrows, in_rows).bit_length() - 1
 
-    kbuf[...] = jnp.zeros((bufrows, LANES), jnp.uint32)
-    vbuf[...] = jnp.zeros((bufrows, LANES), jnp.uint32)
+    for buf in bufs:
+        buf[...] = jnp.zeros((bufrows, LANES), jnp.uint32)
 
     for s in range(KWAY):
         q = s // 2
@@ -381,47 +386,45 @@ def _merge_kernel_kv(tab_ref, k_hbm, v_hbm, ok_hbm, ov_hbm, kbuf, vbuf, sems,
                 @pl.when((wblk & sz) != 0)
                 def _(src=src, wblk=wblk, j=j, sz=sz, q=q):
                     pref = ((wblk >> (j + 1)) << (j + 1)) * blk_rows
-                    for gi, (hbm, buf) in enumerate(((k_hbm, kbuf),
-                                                     (v_hbm, vbuf))):
+                    for gi, (hbm, buf) in enumerate(zip(in_hbms, bufs)):
                         dma = pltpu.make_async_copy(
                             hbm.at[pl.ds(src + pref, sz * blk_rows), :],
                             buf.at[pl.ds(q * qrows + pref,
                                          sz * blk_rows), :],
-                            sems.at[(2 * j + gi) % (2 * DEPTH)])
+                            sems.at[(ns * j + gi) % (ns * DEPTH)])
                         dma.start()
                         dma.wait()
         else:
-            # DEPTH block-pairs outstanding (two streams per block; the
-            # semaphore pool is 2*DEPTH so kv matches the keys path depth)
+            # DEPTH block-groups outstanding (ns streams per block; the
+            # semaphore pool is ns*DEPTH so every variant keeps the keys
+            # path's DMA depth)
             wa = tab_ref[trow, KWAY + s - 1]
 
             def mkb(b, gi, src=src, wblk=wblk, wa=wa, q=q):
-                hbm, buf = ((k_hbm, kbuf), (v_hbm, vbuf))[gi]
                 dst = q * qrows + (wa + wblk - 1 - b) * blk_rows
                 return pltpu.make_async_copy(
-                    hbm.at[pl.ds(src + b * blk_rows, blk_rows), :],
-                    buf.at[pl.ds(dst, blk_rows), :],
-                    sems.at[(2 * b + gi) % (2 * DEPTH)])
+                    in_hbms[gi].at[pl.ds(src + b * blk_rows, blk_rows), :],
+                    bufs[gi].at[pl.ds(dst, blk_rows), :],
+                    sems.at[(ns * b + gi) % (ns * DEPTH)])
 
             def bbody(b, _):
                 @pl.when(b >= DEPTH)
                 def _():
-                    mkb(b - DEPTH, 0).wait()
-                    mkb(b - DEPTH, 1).wait()
-                mkb(b, 0).start()
-                mkb(b, 1).start()
+                    for gi in range(ns):
+                        mkb(b - DEPTH, gi).wait()
+                for gi in range(ns):
+                    mkb(b, gi).start()
                 return 0
             jax.lax.fori_loop(0, wblk, bbody, 0)
 
             def bdrain(b, _):
-                mkb(b, 0).wait()
-                mkb(b, 1).wait()
+                for gi in range(ns):
+                    mkb(b, gi).wait()
                 return 0
             jax.lax.fori_loop(jnp.maximum(wblk - DEPTH, 0), wblk,
                               bdrain, 0)
 
-    xk = kbuf[...]
-    xv = vbuf[...]
+    xs = [buf[...] for buf in bufs]
 
     row = jax.lax.broadcasted_iota(jnp.int32, (bufrows, LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (bufrows, LANES), 1)
@@ -432,13 +435,12 @@ def _merge_kernel_kv(tab_ref, k_hbm, v_hbm, ok_hbm, ov_hbm, kbuf, vbuf, sems,
         lo = q * qrows + wa * blk_rows
         hi = lo + wb * blk_rows
         inb = inb | ((row >= lo) & (row < hi))
-    xk = jnp.where(inb, _flip_blocks(xk, bufrows, blk_rows), xk)
-    xv = jnp.where(inb, _flip_blocks(xv, bufrows, blk_rows), xv)
+    xs = [jnp.where(inb, _flip_blocks(x, bufrows, blk_rows), x) for x in xs]
 
     nbits = (bufrows * LANES).bit_length() - 1
     bias = jnp.full((bufrows, LANES), -2147483648, jnp.int32)
-    key = xk.astype(jnp.int32) ^ bias
-    val = xv.astype(jnp.int32) ^ bias
+    key = xs[0].astype(jnp.int32) ^ bias
+    vals = [x.astype(jnp.int32) ^ bias for x in xs[1:]]
     for level in range(3):
         size_bits = nbits - 2 + level
         if level < 2:
@@ -448,39 +450,41 @@ def _merge_kernel_kv(tab_ref, k_hbm, v_hbm, ok_hbm, ov_hbm, kbuf, vbuf, sems,
         for j in range(size_bits - 1, -1, -1):
             dist = 1 << j
             if dist >= 8 * LANES and ce == "reshape":
-                key, val = ce_stage_reshape(
-                    key, val, dist // LANES,
+                key, vals = ce_stage_reshape(
+                    key, vals, dist // LANES,
                     size_bits - j - 1 if level < 2 else None, bufrows)
+                vals = [] if vals is None else vals
                 continue
             if dist < LANES:
                 is_lower = (lane & dist) == 0
                 pk = jnp.where(is_lower, pltpu.roll(key, LANES - dist, 1),
                                pltpu.roll(key, dist, 1))
-                pv = jnp.where(is_lower, pltpu.roll(val, LANES - dist, 1),
-                               pltpu.roll(val, dist, 1))
+                pvs = [jnp.where(is_lower, pltpu.roll(v, LANES - dist, 1),
+                                 pltpu.roll(v, dist, 1)) for v in vals]
             else:
                 rd = dist // LANES
                 is_lower = (row & rd) == 0
                 pk = jnp.where(is_lower, pltpu.roll(key, bufrows - rd, 0),
                                pltpu.roll(key, rd, 0))
-                pv = jnp.where(is_lower, pltpu.roll(val, bufrows - rd, 0),
-                               pltpu.roll(val, rd, 0))
+                pvs = [jnp.where(is_lower, pltpu.roll(v, bufrows - rd, 0),
+                                 pltpu.roll(v, rd, 0)) for v in vals]
             want_small = is_lower ^ desc
-            take_p = (pk < key) | ((pk == key) & (pv < val))
+            take_p = pk < key
+            if vals:
+                take_p = take_p | ((pk == key) & (pvs[0] < vals[0]))
             swap = take_p == want_small
             key = jnp.where(swap, pk, key)
-            val = jnp.where(swap, pv, val)
-    xk = (key ^ bias).astype(jnp.uint32)
-    xv = (val ^ bias).astype(jnp.uint32)
+            vals = [jnp.where(swap, pv, v) for pv, v in zip(pvs, vals)]
+    xs = [(key ^ bias).astype(jnp.uint32)] + \
+        [(v ^ bias).astype(jnp.uint32) for v in vals]
 
     m = tab_ref[trow, 16]
     for j in range(6, -1, -1):
         sz = 1 << j
         bit = (m & sz) != 0
-        xk = jnp.where(bit, _shift_flat_right(xk, sz), xk)
-        xv = jnp.where(bit, _shift_flat_right(xv, sz), xv)
-    kbuf[...] = xk
-    vbuf[...] = xv
+        xs = [jnp.where(bit, _shift_flat_right(x, sz), x) for x in xs]
+    for buf, x in zip(bufs, xs):
+        buf[...] = x
 
     e0 = tab_ref[trow, 17]
     o0 = tab_ref[trow, 18]
@@ -491,12 +495,11 @@ def _merge_kernel_kv(tab_ref, k_hbm, v_hbm, ok_hbm, ov_hbm, kbuf, vbuf, sems,
         @pl.when((ecnt & sz) != 0)
         def _(j=j, sz=sz):
             pref = (ecnt >> (j + 1)) << (j + 1)
-            for gi, (buf, hbm) in enumerate(((kbuf, ok_hbm),
-                                             (vbuf, ov_hbm))):
+            for gi, (buf, hbm) in enumerate(zip(bufs, out_hbms)):
                 dma = pltpu.make_async_copy(
                     buf.at[pl.ds(e0 + pref, sz), :],
                     hbm.at[pl.ds(o0 + pref, sz), :],
-                    sems.at[(2 * j + gi) % (2 * DEPTH)])
+                    sems.at[(ns * j + gi) % (ns * DEPTH)])
                 dma.start()
                 dma.wait()
 
@@ -504,41 +507,57 @@ def _merge_kernel_kv(tab_ref, k_hbm, v_hbm, ok_hbm, ov_hbm, kbuf, vbuf, sems,
 @functools.partial(jax.jit,
                    static_argnames=("run_len", "buf_elems", "blk",
                                     "interpret", "ce"))
-def merge_pass_kv(keys: jax.Array, vals: jax.Array, tables: jax.Array,
-                  run_len: int, buf_elems: int, blk: int = DEF_BLK,
-                  interpret: bool | None = None, ce: str = "roll"):
-    """One KWAY merge pass carrying a payload stream (see _merge_kernel_kv).
+def merge_pass_multi(keys: jax.Array, vals, tables: jax.Array,
+                     run_len: int, buf_elems: int, blk: int = DEF_BLK,
+                     interpret: bool | None = None, ce: str = "roll"):
+    """One KWAY merge pass with any number of payload streams.
 
-    Stability contract: within equal keys the merge orders by the PAYLOAD,
-    so this is a stable key sort exactly when vals are unique and
-    consistent with run order (e.g. original row indices)."""
+    vals: tuple/list of (n,) uint32 arrays. The FIRST is the comparison
+    tiebreak (see _merge_kernel_multi); the rest ride uncompared. Returns
+    (sorted_keys, [payloads...]).
+    """
     if interpret is None:
         interpret = _interpret_default()
+    vals = list(vals)
+    ns = 1 + len(vals)
     n = keys.shape[0]
     bufrows = buf_elems // LANES
-    kern = functools.partial(_merge_kernel_kv, bufrows=bufrows,
+    kern = functools.partial(_merge_kernel_multi, bufrows=bufrows,
                              blk_rows=blk // LANES, in_rows=n // LANES,
-                             ce=ce)
+                             ce=ce, ns=ns)
     tab_spec = pl.BlockSpec((8, NCOLS), lambda i: (i // 8, 0),
                             memory_space=pltpu.SMEM)
     shape = jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32)
-    ok, ov = pl.pallas_call(
+    outs = pl.pallas_call(
         kern,
         grid=(tables.shape[0],),
-        in_specs=[tab_spec, pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                   pl.BlockSpec(memory_space=pl.ANY)],
-        out_shape=[shape, shape],
-        scratch_shapes=[pltpu.VMEM((bufrows, LANES), jnp.uint32),
-                        pltpu.VMEM((bufrows, LANES), jnp.uint32),
-                        pltpu.SemaphoreType.DMA((2 * DEPTH,))],
+        in_specs=[tab_spec] + [pl.BlockSpec(memory_space=pl.ANY)] * ns,
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * ns,
+        out_shape=[shape] * ns,
+        scratch_shapes=(
+            [pltpu.VMEM((bufrows, LANES), jnp.uint32)] * ns
+            + [pltpu.SemaphoreType.DMA((ns * DEPTH,))]),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(tables, keys.reshape(n // LANES, LANES),
-      vals.reshape(n // LANES, LANES))
-    return ok.reshape(n), ov.reshape(n)
+      *[v.reshape(n // LANES, LANES) for v in vals])
+    return outs[0].reshape(n), [o.reshape(n) for o in outs[1:]]
+
+
+def merge_pass_kv(keys: jax.Array, vals: jax.Array, tables: jax.Array,
+                  run_len: int, buf_elems: int, blk: int = DEF_BLK,
+                  interpret: bool | None = None, ce: str = "roll"):
+    """One KWAY merge pass carrying a payload stream (merge_pass_multi
+    with a single payload).
+
+    Stability contract: within equal keys the merge orders by the PAYLOAD,
+    so this is a stable key sort exactly when vals are unique and
+    consistent with run order (e.g. original row indices)."""
+    ok, ovs = merge_pass_multi(keys, [vals], tables, run_len=run_len,
+                               buf_elems=buf_elems, blk=blk,
+                               interpret=interpret, ce=ce)
+    return ok, ovs[0]
 
 
 @functools.partial(jax.jit,

@@ -59,6 +59,28 @@ def test_single_pass_reshape_ce(rng):
     np.testing.assert_array_equal(np.asarray(ov), v[want])
 
 
+def test_single_pass_multi_stream(rng):
+    # two payload streams: first is the tiebreak, second rides uncompared
+    n, L = 1 << 13, 1 << 10
+    k = (rng.integers(0, 37, n, dtype=np.uint32))
+    v0 = np.arange(n, dtype=np.uint32)
+    v1 = rng.integers(0, 2**32, n, dtype=np.uint32)
+    order = np.lexsort((v0.reshape(8, L), k.reshape(8, L)))
+    k2 = np.take_along_axis(k.reshape(8, L), order, 1).reshape(-1)
+    v02 = np.take_along_axis(v0.reshape(8, L), order, 1).reshape(-1)
+    v12 = np.take_along_axis(v1.reshape(8, L), order, 1).reshape(-1)
+    buf = M.pass_buf_elems(L, MAXBUF)
+    tab, ok = M.merge_pass_tables(jnp.asarray(k2), L, buf, BLK)
+    assert bool(ok)
+    sk, (s0, s1) = M.merge_pass_multi(
+        jnp.asarray(k2), [jnp.asarray(v02), jnp.asarray(v12)], tab,
+        run_len=L, buf_elems=buf, blk=BLK)
+    want = np.lexsort((v0, k))
+    np.testing.assert_array_equal(np.asarray(sk), k[want])
+    np.testing.assert_array_equal(np.asarray(s0), v0[want])
+    np.testing.assert_array_equal(np.asarray(s1), v1[want])
+
+
 def test_multi_chunk_pass(rng):
     # 8 runs of 8192 with buf 8192 -> many chunks per group
     n, L = 1 << 16, 1 << 13
