@@ -188,6 +188,61 @@ def sort_tiles_kv(keys: jax.Array, values: jax.Array, tile_rows: int = 128,
     return ok.reshape(n), ov.reshape(n)
 
 
+def _bitonic_multi_kernel(*refs, rows: int, nv: int, ce: str):
+    """Sort one (rows, 128) tile by (key, val0) ascending with nv payload
+    streams riding; refs = k_ref, v_refs[nv], ok_ref, ov_refs[nv]."""
+    k_ref = refs[0]
+    v_refs = refs[1:1 + nv]
+    ok_ref = refs[1 + nv]
+    ov_refs = refs[2 + nv:]
+    bias = jnp.full((rows, LANES), -2147483648, jnp.int32)
+    key = k_ref[...].reshape(rows, LANES).astype(jnp.int32) ^ bias
+    vals = [v[...].reshape(rows, LANES).astype(jnp.int32) ^ bias
+            for v in v_refs]
+    key, vals = bitonic_network(key, vals, rows, ce=ce)
+    ok_ref[...] = (key ^ bias).astype(jnp.uint32).reshape(1, rows, LANES)
+    for ov, v in zip(ov_refs, vals):
+        ov[...] = (v ^ bias).astype(jnp.uint32).reshape(1, rows, LANES)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_rows", "interpret", "ce"))
+def sort_tiles_multi(keys: jax.Array, values, tile_rows: int = 128,
+                     interpret: bool | None = None, ce: str = "roll"):
+    """Tile-local sort with any number of riding payload streams.
+
+    values: tuple/list of (n,) uint32. The FIRST is the comparison
+    tiebreak (unique values => stable key sort); the rest ride uncompared
+    — the multi-column analog of sort_tiles_kv. Returns
+    (sorted_keys, [payloads...]).
+    """
+    n = keys.shape[0]
+    tile = tile_rows * LANES
+    if n % tile or tile_rows & (tile_rows - 1):
+        raise ValueError(f"n={n} must be a multiple of tile={tile}, "
+                         f"tile_rows={tile_rows} a power of 2")
+    if interpret is None:
+        interpret = _interpret_default()
+    values = list(values)
+    nv = len(values)
+    nt = n // tile
+    kern = functools.partial(_bitonic_multi_kernel, rows=tile_rows, nv=nv,
+                             ce=ce)
+    spec = pl.BlockSpec((1, tile_rows, LANES), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((nt, tile_rows, LANES), jnp.uint32)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nt,),
+        in_specs=[spec] * (1 + nv),
+        out_specs=[spec] * (1 + nv),
+        out_shape=[shape] * (1 + nv),
+        interpret=interpret,
+    )(keys.reshape(nt, tile_rows, LANES),
+      *[v.reshape(nt, tile_rows, LANES) for v in values])
+    return outs[0].reshape(n), [o.reshape(n) for o in outs[1:]]
+
+
 def _bitonic_keys_kernel(k_ref, ok_ref, *, rows: int, ce: str = "roll"):
     """Keys-only tile sort: no payload stream, and ties need no break —
     equal keys compare not-less on both pair halves, so neither swaps

@@ -26,30 +26,45 @@ import jax.numpy as jnp
 from lsdradixsort_tpu.ops.filter import compact
 
 
-@jax.jit
-def group_by_sum(group_keys: jax.Array, values: jax.Array):
+@functools.partial(jax.jit, static_argnames=("engine",))
+def group_by_sum(group_keys: jax.Array, values: jax.Array,
+                 engine: str = "xla"):
     """GROUP BY group_keys SUM(values).
 
     Returns (num_groups, unique_keys_sorted, sums): the first `num_groups`
     rows of the outputs are the result; the tail is unspecified.
     """
-    return group_by_aggregate(group_keys, values, reduction="sum")
+    return group_by_aggregate(group_keys, values, reduction="sum",
+                              engine=engine)
 
 
-@functools.partial(jax.jit, static_argnames=("reduction",))
+@functools.partial(jax.jit, static_argnames=("reduction", "engine"))
 def group_by_aggregate(group_keys: jax.Array, values: jax.Array,
-                       reduction: str = "sum"):
-    """GROUP BY with reduction in {"sum", "min", "max", "count"}."""
+                       reduction: str = "sum", engine: str = "xla"):
+    """GROUP BY with reduction in {"sum", "min", "max", "count"}.
+
+    engine="merge" routes the grouping sort through the framework merge
+    sort (ops/sort.merge_sort_multi / merge_sort_keys); "xla" uses
+    jax.lax.sort. Results are identical (modular sums are
+    order-independent; min/max sort by (key, value) in both engines)."""
     n = group_keys.shape[0]
     if reduction == "sum":
         # modular sums are order-independent: no stability needed, so skip
         # the iota tiebreak stream (1.1-1.4x on the dominant sort)
-        sk, sv = jax.lax.sort((group_keys, values), num_keys=1,
-                              is_stable=False)
+        if engine == "merge":
+            from lsdradixsort_tpu.ops.sort import merge_sort_multi
+            sk, (sv,) = merge_sort_multi(group_keys, [values])
+        else:
+            sk, sv = jax.lax.sort((group_keys, values), num_keys=1,
+                                  is_stable=False)
         is_last = jnp.concatenate([sk[1:] != sk[:-1],
                                    jnp.ones((1,), dtype=bool)])
     elif reduction == "count":
-        sk = jax.lax.sort(group_keys)
+        if engine == "merge":
+            from lsdradixsort_tpu.ops.sort import merge_sort_keys
+            sk = merge_sort_keys(group_keys)
+        else:
+            sk = jax.lax.sort(group_keys)
         is_last = jnp.concatenate([sk[1:] != sk[:-1],
                                    jnp.ones((1,), dtype=bool)])
     if reduction == "sum":
@@ -69,8 +84,12 @@ def group_by_aggregate(group_keys: jax.Array, values: jax.Array,
         # re-sort by (key, value): a run's min is then its FIRST value and
         # its max its LAST — no segmented scan needed (associative_scan
         # compiles pathologically at >=2^24 on TPU)
-        sk2, sv2 = jax.lax.sort((group_keys, values), num_keys=2,
-                                is_stable=False)
+        if engine == "merge":
+            from lsdradixsort_tpu.ops.sort import merge_sort_multi
+            sk2, (sv2,) = merge_sort_multi(group_keys, [values])
+        else:
+            sk2, sv2 = jax.lax.sort((group_keys, values), num_keys=2,
+                                    is_stable=False)
         if reduction == "min":
             is_head = jnp.concatenate([jnp.ones((1,), dtype=bool),
                                        sk2[1:] != sk2[:-1]])

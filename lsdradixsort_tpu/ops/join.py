@@ -18,17 +18,24 @@ Output arrays are full probe length; the first `count` rows are valid.
 """
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from lsdradixsort_tpu.kernels.fill_forward import fill_forward_last
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("engine",))
 def hash_join(build_keys: jax.Array, build_vals: jax.Array,
-              probe_keys: jax.Array, probe_vals: jax.Array):
+              probe_keys: jax.Array, probe_vals: jax.Array,
+              engine: str = "xla"):
     """Inner equi-join. Returns (count, probe_keys, probe_vals, build_vals)
-    in probe order; rows past `count` are unspecified."""
+    in probe order; rows past `count` are unspecified.
+
+    engine="merge" runs the main (key, tag|pos) sort through the framework
+    merge sort (ops/sort.merge_sort_multi — packed positions are a unique
+    tiebreak, so the result is bit-identical); "xla" uses jax.lax.sort."""
     nb, np_ = build_keys.shape[0], probe_keys.shape[0]
     keys = jnp.concatenate([build_keys, probe_keys])
     # pack (tag, probe position) into one u32: bit 31 = tag (build 0,
@@ -41,8 +48,12 @@ def hash_join(build_keys: jax.Array, build_vals: jax.Array,
         jnp.arange(np_, dtype=jnp.uint32) | jnp.uint32(0x80000000)])
     val = jnp.concatenate([build_vals, probe_vals])
 
-    sk, spacked, sval = jax.lax.sort((keys, packed, val), num_keys=2,
-                                     is_stable=False)
+    if engine == "merge":
+        from lsdradixsort_tpu.ops.sort import merge_sort_multi
+        sk, (spacked, sval) = merge_sort_multi(keys, [packed, val])
+    else:
+        sk, spacked, sval = jax.lax.sort((keys, packed, val), num_keys=2,
+                                         is_stable=False)
     is_build = spacked < jnp.uint32(0x80000000)
 
     # Broadcast each build row's value to the probe rows of its key via the

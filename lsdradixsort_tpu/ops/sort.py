@@ -152,6 +152,60 @@ def merge_sort_with_ranks(keys: jax.Array, tile_log2: int = 15,
     return (x[:n], v[:n]) if npad != n else (x, v)
 
 
+def merge_sort_multi(keys: jax.Array, values, tile_log2: int = 15,
+                     max_buf: int | None = None,
+                     blk: int | None = None,
+                     ce: str = "roll"):
+    """Framework sort of (keys, values[0]) lexicographic with any number of
+    payload streams riding (kernels/merge.py multi-stream engine).
+
+    values: tuple/list of (n,) uint32. The FIRST is the comparison
+    tiebreak; the rest move with their row uncompared. Returns
+    (sorted_keys, [payloads...]).
+
+    Padding contract: inputs whose length is not a multiple of the tile
+    are padded with (key, val0) = (0xFFFFFFFF, 0xFFFFFFFF) sentinel rows,
+    which sort last and are sliced off. This is exact when values[0] is
+    unique (e.g. positions, or join's tag|position packing) or when there
+    is only one payload stream (sentinel-equal rows are then
+    indistinguishable); with >= 2 payloads a real row equal to the
+    sentinel pair could swap with padding — callers pass unique val0.
+
+    Skew fallback: any pass whose sample tables overflow the VMEM buffer
+    runs jax.lax.sort (num_keys=2) for that pass instead (lax.cond).
+    """
+    from lsdradixsort_tpu.kernels import merge as M
+    from lsdradixsort_tpu.kernels.tile_sort import sort_tiles_multi
+    if max_buf is None:
+        max_buf = M.DEF_BUF
+    if blk is None:
+        blk = M.DEF_BLK
+    values = list(values)
+    n = keys.shape[0]
+    tile = 1 << tile_log2
+    npad = -(-n // tile) * tile
+    if npad != n:
+        pad = jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)
+        keys = jnp.concatenate([keys, pad])
+        values = [jnp.concatenate([v, pad]) for v in values]
+    x, vs = sort_tiles_multi(keys, values, tile_rows=tile // 128, ce=ce)
+    run = tile
+    while run < npad:
+        buf = M.pass_buf_elems(run, max_buf)
+        tab, ok = M.merge_pass_tables(x, run, buf, blk)
+        x, vs = jax.lax.cond(
+            ok,
+            lambda x, vs, tab: M.merge_pass_multi(
+                x, vs, tab, run_len=run, buf_elems=buf, blk=blk, ce=ce),
+            lambda x, vs, tab: (lambda out: (out[0], list(out[1:])))(
+                jax.lax.sort((x, *vs), num_keys=2, is_stable=False)),
+            x, vs, tab)
+        run *= M.KWAY
+    if npad != n:
+        x, vs = x[:n], [v[:n] for v in vs]
+    return x, vs
+
+
 @functools.partial(jax.jit, static_argnames=("strategy", "r", "block_size"))
 def sort_kv(keys: jax.Array, values: jax.Array, strategy: str = "xla",
             r: int = 8, block_size: int = 1 << 13):

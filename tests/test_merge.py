@@ -81,6 +81,21 @@ def test_single_pass_multi_stream(rng):
     np.testing.assert_array_equal(np.asarray(s1), v1[want])
 
 
+@pytest.mark.parametrize("n", [1 << 13, (1 << 14) - 777])
+def test_merge_sort_multi_op(rng, n):
+    from lsdradixsort_tpu.ops.sort import merge_sort_multi
+    k = rng.integers(0, 50, n, dtype=np.uint32)
+    v0 = np.arange(n, dtype=np.uint32)
+    v1 = rng.integers(0, 2**32, n, dtype=np.uint32)
+    sk, (s0, s1) = merge_sort_multi(
+        jnp.asarray(k), [jnp.asarray(v0), jnp.asarray(v1)],
+        tile_log2=TILE_LOG, max_buf=MAXBUF, blk=BLK)
+    want = np.lexsort((v0, k))
+    np.testing.assert_array_equal(np.asarray(sk), k[want])
+    np.testing.assert_array_equal(np.asarray(s0), v0[want])
+    np.testing.assert_array_equal(np.asarray(s1), v1[want])
+
+
 def test_multi_chunk_pass(rng):
     # 8 runs of 8192 with buf 8192 -> many chunks per group
     n, L = 1 << 16, 1 << 13

@@ -193,3 +193,32 @@ def test_filtered_group_by_sum_sentinel_group():
                                   np.array([1, 0xFFFFFFFF], np.uint32))
     np.testing.assert_array_equal(np.asarray(sums)[:2],
                                   np.array([60, 40], np.uint32))
+
+
+def test_group_by_sum_merge_engine(rng):
+    # engine="merge" routes the grouping sort through the framework sort
+    gk = _keys(rng, 40_000, hi=500)
+    v = _keys(rng, 40_000)
+    count, uk, sums = ops.group_by_sum(jnp.asarray(gk), jnp.asarray(v),
+                                       engine="merge")
+    wk, ws = golden.group_by_sum(gk, v)
+    c = int(count)
+    assert c == wk.size
+    check_arrays(np.asarray(uk)[:c], wk, "gb keys (merge)")
+    check_arrays(np.asarray(sums)[:c], ws, "gb sums (merge)")
+
+
+def test_hash_join_merge_engine(rng):
+    bk = rng.permutation(np.arange(1000, dtype=np.uint32))
+    bv = bk * 3 + 1
+    pk = _keys(rng, 20_000, hi=2000)
+    pv = np.arange(20_000, dtype=np.uint32)
+    count, jk, jpv, jbv = ops.hash_join(
+        jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk), jnp.asarray(pv),
+        engine="merge")
+    wk, wpv, wbv = golden.hash_join(bk, bv, pk, pv)
+    c = int(count)
+    assert c == wk.size
+    check_arrays(np.asarray(jk)[:c], wk, "join keys (merge)")
+    check_arrays(np.asarray(jpv)[:c], wpv, "join probe vals (merge)")
+    check_arrays(np.asarray(jbv)[:c], wbv, "join build vals (merge)")
