@@ -303,6 +303,22 @@ def suite_query(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
             check_arrays(sums[:wk.size], ws)
     out.append(_bench("query/group_by_sum", {"n": n}, gfn, (keys, vals), n,
                       bytes_moved=16 * n, verify=gver))
+    if sweep:
+        # engine A/B: the same op with its grouping sort routed through
+        # the framework merge sort
+        gfn_m = jax.jit(lambda k, v: group_by_sum(k, v, engine="merge"))
+        gver_m = None
+        if verify:
+            def gver_m():
+                cnt, uk, sums = gfn_m(keys, vals)
+                wk, ws = golden.group_by_sum(np.asarray(keys),
+                                             np.asarray(vals))
+                assert int(cnt) == wk.size
+                check_arrays(uk[:wk.size], wk)
+                check_arrays(sums[:wk.size], ws)
+        out.append(_bench("query/group_by_sum_merge", {"n": n}, gfn_m,
+                          (keys, vals), n, bytes_moved=16 * n,
+                          verify=gver_m))
     from lsdradixsort_tpu.ops.aggregate import filtered_group_by_sum
     gk2 = datagen.random_keys_bounded(n, 0, 1 << 10, seed=7)
     qfn = jax.jit(lambda k, g, v: filtered_group_by_sum(
@@ -340,6 +356,23 @@ def suite_query(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
     out.append(_bench("query/hash_join", {"build": nb, "probe": n}, jfn,
                       (bkeys, bvals, pkeys, vals), n,
                       bytes_moved=8 * (n + nb) + 24 * n, verify=jver))
+    if sweep:
+        jfn_m = jax.jit(lambda b, bv, p, pv: hash_join(b, bv, p, pv,
+                                                       engine="merge"))
+        jver_m = None
+        if verify:
+            def jver_m():
+                cnt, jk, jpv, jbv = jfn_m(bkeys, bvals, pkeys, vals)
+                wk, wpv, wbv = golden.hash_join(
+                    np.asarray(bkeys), np.asarray(bvals),
+                    np.asarray(pkeys), np.asarray(vals))
+                assert int(cnt) == wk.size
+                check_arrays(jk[:wk.size], wk)
+                check_arrays(jpv[:wk.size], wpv)
+                check_arrays(jbv[:wk.size], wbv)
+        out.append(_bench("query/hash_join_merge", {"build": nb, "probe": n},
+                          jfn_m, (bkeys, bvals, pkeys, vals), n,
+                          bytes_moved=8 * (n + nb) + 24 * n, verify=jver_m))
     return out
 
 
