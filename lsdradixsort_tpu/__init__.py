@@ -19,13 +19,16 @@ Layer map (mirrors reference layering, SURVEY.md §1):
 
 from lsdradixsort_tpu.core import digits, datagen, timing, roofline
 from lsdradixsort_tpu.ops.sort import (sort, sort_kv, argsort,
-                                       sort_with_ranks, sort_blocks_kv)
+                                       sort_with_ranks, sort_blocks_kv,
+                                       merge_sort_keys, merge_sort_with_ranks,
+                                       merge_sort_multi)
 from lsdradixsort_tpu.ops.filter import filter_keys, filter_kv, compact
 from lsdradixsort_tpu.ops.aggregate import group_by_sum, group_by_aggregate
 from lsdradixsort_tpu.ops.join import hash_join
 from lsdradixsort_tpu.kernels.histogram import digit_histogram, block_digit_histograms
 from lsdradixsort_tpu.kernels.scan import exclusive_scan, block_prefix_sums
-from lsdradixsort_tpu.kernels.tile_sort import sort_tiles, sort_tiles_kv
+from lsdradixsort_tpu.kernels.tile_sort import (sort_tiles, sort_tiles_kv,
+                                                sort_tiles_multi)
 from lsdradixsort_tpu.kernels.shuffle import shuffle_row_runs
 from lsdradixsort_tpu.kernels.fill_forward import fill_forward_last
 
@@ -33,7 +36,9 @@ __version__ = "0.2.0"
 
 __all__ = [
     "sort", "sort_kv", "argsort", "sort_with_ranks", "sort_blocks_kv",
-    "sort_tiles", "sort_tiles_kv", "shuffle_row_runs", "fill_forward_last",
+    "merge_sort_keys", "merge_sort_with_ranks", "merge_sort_multi",
+    "sort_tiles", "sort_tiles_kv", "sort_tiles_multi",
+    "shuffle_row_runs", "fill_forward_last",
     "filter_keys", "filter_kv", "compact",
     "group_by_sum", "group_by_aggregate",
     "hash_join",

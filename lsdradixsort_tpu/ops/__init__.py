@@ -4,3 +4,6 @@ from lsdradixsort_tpu.ops.aggregate import (group_by_sum, group_by_aggregate,  #
                                             filtered_group_by_sum)
 from lsdradixsort_tpu.ops.join import hash_join  # noqa: F401
 from lsdradixsort_tpu.ops.sort import sort_with_ranks, sort_blocks_kv  # noqa: F401
+from lsdradixsort_tpu.ops.sort import (merge_sort_keys,  # noqa: F401
+                                       merge_sort_with_ranks,
+                                       merge_sort_multi)
