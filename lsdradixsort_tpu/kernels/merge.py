@@ -13,7 +13,7 @@ framework sort is a merge sort instead:
      output chunk (<= buf elements), the 8 source windows that contain
      exactly its elements (plus <=3 blocks of slack each).
   3. A Pallas kernel DMAs the 8 windows into a VMEM buffer laid out as
-     4 quarters of [A ascending | B descending | -inf pads], then runs a
+     4 quarters of [A ascending | +inf pads | B descending], then runs a
      static bitonic half-cleaner cascade (quarters -> halves -> full,
      alternating direction, so each level's input is bitonic by
      construction), rolls the result to a 128-alignment boundary, and
@@ -173,8 +173,9 @@ def merge_pass_tables(keys: jax.Array, run_len: int, buf_elems: int,
     ok = jnp.all(pair_sum <= qblocks)
 
     rp = (r // LANES) * LANES                               # aligned ranks
-    pads = buf_elems - jnp.sum(s_wblk, axis=2) * blk        # -inf pad count
-    start = pads + pre - (r[:, :nch] - rp[:, :nch])
+    # pads are +inf and rank LAST, so the chunk's first element sits at
+    # sorted-buffer position `pre` (windows hold pre elements below it)
+    start = pre - (r[:, :nch] - rp[:, :nch])
     m = (-start) % LANES
     emit_row0 = (start + m) // LANES
     gbase_rows = (jnp.arange(ngroups, dtype=jnp.int32)[:, None]
@@ -239,7 +240,7 @@ def _merge_kernel(tab_ref, x_hbm, o_hbm, buf, sems, *, bufrows: int,
     abits = max_ablk.bit_length() - 1 if max_ablk else 0
     ebits = min(bufrows, in_rows).bit_length() - 1
 
-    buf[...] = jnp.zeros((bufrows, LANES), jnp.uint32)      # -inf pads
+    buf[...] = jnp.full((bufrows, LANES), 0xFFFFFFFF, jnp.uint32)  # +inf
 
     # ---- load windows: A slots forward, B slots block-mirrored ----
     for s in range(KWAY):
@@ -259,12 +260,13 @@ def _merge_kernel(tab_ref, x_hbm, o_hbm, buf, sems, *, bufrows: int,
                         sems.at[j % DEPTH])
                     dma.start()
                     dma.wait()
-        else:            # B: per-block, mirrored order, packed after A;
+        else:            # B: per-block, mirrored order, packed at the
+            # quarter END so the +inf pad gap sits between A (ascending)
+            # and B (descending) — rise, plateau, fall stays bitonic.
             # DEPTH outstanding copies hide the per-descriptor issue cost
-            wa = tab_ref[trow, KWAY + s - 1]
 
-            def mkb(b, src=src, wblk=wblk, wa=wa, q=q):
-                dst = q * qrows + (wa + wblk - 1 - b) * blk_rows
+            def mkb(b, src=src, wblk=wblk, q=q):
+                dst = q * qrows + qrows - (b + 1) * blk_rows
                 return pltpu.make_async_copy(
                     x_hbm.at[pl.ds(src + b * blk_rows, blk_rows), :],
                     buf.at[pl.ds(dst, blk_rows), :],
@@ -291,10 +293,9 @@ def _merge_kernel(tab_ref, x_hbm, o_hbm, buf, sems, *, bufrows: int,
     flipped = _flip_blocks(x, bufrows, blk_rows)
     inb = jnp.zeros((bufrows, LANES), jnp.bool_)
     for q in range(4):
-        wa = tab_ref[trow, KWAY + 2 * q]
         wb = tab_ref[trow, KWAY + 2 * q + 1]
-        lo = q * qrows + wa * blk_rows
-        hi = lo + wb * blk_rows
+        hi = (q + 1) * qrows
+        lo = hi - wb * blk_rows
         inb = inb | ((row >= lo) & (row < hi))
     x = jnp.where(inb, flipped, x)
 
@@ -373,7 +374,7 @@ def _merge_kernel_multi(tab_ref, *refs, bufrows: int, blk_rows: int,
     ebits = min(bufrows, in_rows).bit_length() - 1
 
     for buf in bufs:
-        buf[...] = jnp.zeros((bufrows, LANES), jnp.uint32)
+        buf[...] = jnp.full((bufrows, LANES), 0xFFFFFFFF, jnp.uint32)
 
     for s in range(KWAY):
         q = s // 2
@@ -395,13 +396,13 @@ def _merge_kernel_multi(tab_ref, *refs, bufrows: int, blk_rows: int,
                         dma.start()
                         dma.wait()
         else:
-            # DEPTH block-groups outstanding (ns streams per block; the
+            # B at the quarter END, mirrored (see keys kernel); DEPTH
+            # block-groups outstanding (ns streams per block; the
             # semaphore pool is ns*DEPTH so every variant keeps the keys
             # path's DMA depth)
-            wa = tab_ref[trow, KWAY + s - 1]
 
-            def mkb(b, gi, src=src, wblk=wblk, wa=wa, q=q):
-                dst = q * qrows + (wa + wblk - 1 - b) * blk_rows
+            def mkb(b, gi, src=src, wblk=wblk, q=q):
+                dst = q * qrows + qrows - (b + 1) * blk_rows
                 return pltpu.make_async_copy(
                     in_hbms[gi].at[pl.ds(src + b * blk_rows, blk_rows), :],
                     bufs[gi].at[pl.ds(dst, blk_rows), :],
@@ -430,10 +431,9 @@ def _merge_kernel_multi(tab_ref, *refs, bufrows: int, blk_rows: int,
     lane = jax.lax.broadcasted_iota(jnp.int32, (bufrows, LANES), 1)
     inb = jnp.zeros((bufrows, LANES), jnp.bool_)
     for q in range(4):
-        wa = tab_ref[trow, KWAY + 2 * q]
         wb = tab_ref[trow, KWAY + 2 * q + 1]
-        lo = q * qrows + wa * blk_rows
-        hi = lo + wb * blk_rows
+        hi = (q + 1) * qrows
+        lo = hi - wb * blk_rows
         inb = inb | ((row >= lo) & (row < hi))
     xs = [jnp.where(inb, _flip_blocks(x, bufrows, blk_rows), x) for x in xs]
 
@@ -469,10 +469,21 @@ def _merge_kernel_multi(tab_ref, *refs, bufrows: int, blk_rows: int,
                 pvs = [jnp.where(is_lower, pltpu.roll(v, bufrows - rd, 0),
                                  pltpu.roll(v, rd, 0)) for v in vals]
             want_small = is_lower ^ desc
-            take_p = pk < key
-            if vals:
-                take_p = take_p | ((pk == key) & (pvs[0] < vals[0]))
-            swap = take_p == want_small
+            if len(vals) >= 2:
+                # riding streams beyond the compared payload: the two pair
+                # halves must agree on exact (key, val0) ties or a tie
+                # would duplicate one riding value and drop another. Never
+                # swap on ties: lower takes iff partner strictly smaller,
+                # upper takes iff partner strictly greater.
+                keq = pk == key
+                lt = (pk < key) | (keq & (pvs[0] < vals[0]))
+                gt = ~lt & ~(keq & (pvs[0] == vals[0]))
+                swap = jnp.where(want_small, lt, gt)
+            else:
+                take_p = pk < key
+                if vals:
+                    take_p = take_p | ((pk == key) & (pvs[0] < vals[0]))
+                swap = take_p == want_small
             key = jnp.where(swap, pk, key)
             vals = [jnp.where(swap, pv, v) for pv, v in zip(pvs, vals)]
     xs = [(key ^ bias).astype(jnp.uint32)] + \
@@ -515,6 +526,13 @@ def merge_pass_multi(keys: jax.Array, vals, tables: jax.Array,
     vals: tuple/list of (n,) uint32 arrays. The FIRST is the comparison
     tiebreak (see _merge_kernel_multi); the rest ride uncompared. Returns
     (sorted_keys, [payloads...]).
+
+    Contract (multi-payload): the pass orders rows by (key, val0) but
+    assigns equal keys to output chunks by their input position, so with
+    >= 2 payload streams val0 must order equal keys consistently with
+    position (e.g. positions themselves, or join's tag|position packing).
+    With exactly one payload no condition is needed — rows tied on both
+    streams are identical and interchangeable.
     """
     if interpret is None:
         interpret = _interpret_default()

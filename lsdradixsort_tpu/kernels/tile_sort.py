@@ -127,12 +127,25 @@ def bitonic_network(key, val, rows: int, compare_val: bool = True,
                                pltpu.roll(key, rd, 0))
                 pvs = [jnp.where(is_lower, pltpu.roll(v, rows - rd, 0),
                                  pltpu.roll(v, rd, 0)) for v in vals]
-            if compare_val and vals:
-                # lexicographic (key, val); unique vals => consistent swap
-                take_p = (pk < key) | ((pk == key) & (pvs[0] < vals[0]))
+            if compare_val and len(vals) >= 2:
+                # >= 2 payloads: pair halves must agree on exact
+                # (key, val0) ties or a tie duplicates one riding value
+                # and drops another — never swap on ties (strict compares
+                # in the half's preferred direction)
+                keq = pk == key
+                lt = (pk < key) | (keq & (pvs[0] < vals[0]))
+                gt = ~lt & ~(keq & (pvs[0] == vals[0]))
+                swap = jnp.where(want_small, lt, gt)
             else:
-                take_p = pk < key
-            swap = take_p == want_small
+                if compare_val and vals:
+                    # lexicographic (key, val); unique vals => consistent
+                    take_p = (pk < key) | ((pk == key) & (pvs[0] < vals[0]))
+                else:
+                    # keys-only / uncompared payloads: callers guarantee
+                    # unique keys when payloads ride (compaction's
+                    # position-composite keys are unique by construction)
+                    take_p = pk < key
+                swap = take_p == want_small
             key = jnp.where(swap, pk, key)
             vals = [jnp.where(swap, pv, v) for pv, v in zip(pvs, vals)]
     if not vals:

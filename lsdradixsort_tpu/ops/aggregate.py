@@ -120,6 +120,9 @@ def filtered_group_by_sum(keys: jax.Array, group_keys: jax.Array,
     # with a secondary sort key (0 = kept, 1 = rejected)
     gk = jnp.where(keep, group_keys, jnp.uint32(0xFFFFFFFF))
     tag = jnp.where(keep, jnp.uint32(0), jnp.uint32(1))
+    # no merge-engine variant: the tag tiebreak orders equal keys
+    # differently from input position, violating merge_sort_multi's
+    # multi-payload contract (equal keys are chunk-assigned by position)
     sk, stag, sv = jax.lax.sort((gk, tag, values), num_keys=2,
                                 is_stable=False)
     kept = stag == 0

@@ -54,6 +54,27 @@ def test_sort_tiles_kv_stable_reshape_ce(tile_rows, ntiles):
             np.sort(keys[t * tile:(t + 1) * tile]))
 
 
+def test_sort_tiles_multi_tied_compare_pair():
+    # regression: with >= 2 payloads and exact (key, val0) ties, the CE
+    # halves must agree or riding values get duplicated/dropped
+    from lsdradixsort_tpu.kernels.tile_sort import sort_tiles_multi
+    import collections
+    n = 32 * 128
+    rng = np.random.default_rng(5)
+    k = rng.integers(0, 4, n, dtype=np.uint32)      # heavy key ties
+    v0 = rng.integers(0, 2, n, dtype=np.uint32)     # heavy val0 ties
+    v1 = np.arange(n, dtype=np.uint32)              # distinct riding stream
+    sk, (s0, s1) = sort_tiles_multi(jnp.asarray(k),
+                                    [jnp.asarray(v0), jnp.asarray(v1)],
+                                    tile_rows=32)
+    sk, s0, s1 = map(np.asarray, (sk, s0, s1))
+    pairs = np.stack([sk.astype(np.uint64) << 32 | s0], 1).reshape(-1)
+    assert (pairs[1:] >= pairs[:-1]).all()          # sorted by (key, val0)
+    got = collections.Counter(zip(sk.tolist(), s0.tolist(), s1.tolist()))
+    want = collections.Counter(zip(k.tolist(), v0.tolist(), v1.tolist()))
+    assert got == want                              # no riding corruption
+
+
 def test_sort_tiles_keys_full_range():
     n = 16 * 128
     rng = np.random.default_rng(0)
