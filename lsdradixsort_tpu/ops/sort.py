@@ -209,7 +209,20 @@ def merge_sort_multi(keys: jax.Array, values, tile_log2: int = 15,
 @functools.partial(jax.jit, static_argnames=("strategy", "r", "block_size"))
 def sort_kv(keys: jax.Array, values: jax.Array, strategy: str = "xla",
             r: int = 8, block_size: int = 1 << 13):
-    """Stable key-value sort (north-star extension; keys u32, any payload)."""
+    """Stable key-value sort (north-star extension; keys u32, any payload).
+
+    strategy="merge" runs the framework engine: the row index rides as
+    the (unique, position-consistent) tiebreak stream and every u32
+    payload leaf rides uncompared — stable for arbitrary payloads.
+    "xla" is jax.lax.sort with the injected-iota spelling; "composed" the
+    faithful LSD radix scaffold.
+    """
+    if strategy == "merge":
+        n = keys.shape[0]
+        flat_vals, treedef = jax.tree.flatten(values)
+        iota = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
+        sk, outs = merge_sort_multi(keys, [iota, *flat_vals])
+        return sk, jax.tree.unflatten(treedef, outs[1:])
     if strategy == "xla":
         return _stable_sort_kv_xla(keys, values)
     if strategy == "composed":

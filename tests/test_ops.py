@@ -222,3 +222,15 @@ def test_hash_join_merge_engine(rng):
     check_arrays(np.asarray(jk)[:c], wk, "join keys (merge)")
     check_arrays(np.asarray(jpv)[:c], wpv, "join probe vals (merge)")
     check_arrays(np.asarray(jbv)[:c], wbv, "join build vals (merge)")
+
+
+def test_sort_kv_merge_strategy(rng):
+    # framework engine: iota tiebreak + arbitrary payload riding
+    n = 10_000
+    keys = rng.integers(0, 64, n, dtype=np.uint32)   # heavy duplicates
+    vals = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    gk, gv = ops.sort_kv(jnp.asarray(keys), jnp.asarray(vals),
+                         strategy="merge")
+    wk, wv = golden.lsd_radix_sort_kv(keys, vals)
+    check_arrays(gk, wk, "kv keys merge")
+    check_arrays(gv, wv, "kv vals merge (stability)")
