@@ -15,8 +15,9 @@ global index (as in `argsort` or the sort pipelines), ties resolve by
 original position, which makes the tile sort **stable** — verified
 bit-exactly against numpy's stable argsort on the real chip.
 
-Measured on TPU v5e: 0.58 Gelem/s for 16K-element tiles (105 stages),
-0.51 Gelem/s for 128K tiles (153 stages) — kv pairs, stable.
+Measured on TPU v5e (BENCHMARKS.md): 0.97 Gelem/s stable kv at
+16K-element tiles, 1.54 Gelem/s keys-only — vs the reference's
+1K-element smem blocks.
 """
 from __future__ import annotations
 
