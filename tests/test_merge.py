@@ -110,6 +110,28 @@ def test_multi_chunk_pass(rng):
     np.testing.assert_array_equal(np.asarray(out), np.sort(x))
 
 
+def test_multi_chunk_multi_stream_heavy_ties(rng):
+    # multi-chunk pass with riding streams: equal keys span chunk
+    # boundaries; val0 (global position) satisfies the consistency
+    # contract, v1 must arrive uncorrupted at exact positions
+    n, L = 1 << 16, 1 << 13
+    k = np.sort(rng.integers(0, 7, (8, L), dtype=np.uint32),
+                axis=1).reshape(-1)                  # massive tied spans
+    v0 = np.arange(n, dtype=np.uint32)               # position-consistent
+    v1 = rng.integers(0, 2**32, n, dtype=np.uint32)
+    buf = M.pass_buf_elems(L, MAXBUF)
+    assert buf < M.KWAY * L                          # multi-chunk
+    tab, ok = M.merge_pass_tables(jnp.asarray(k), L, buf, BLK)
+    assert bool(ok)
+    sk, (s0, s1) = M.merge_pass_multi(
+        jnp.asarray(k), [jnp.asarray(v0), jnp.asarray(v1)], tab,
+        run_len=L, buf_elems=buf, blk=BLK)
+    want = np.lexsort((v0, k))
+    np.testing.assert_array_equal(np.asarray(sk), k[want])
+    np.testing.assert_array_equal(np.asarray(s0), v0[want])
+    np.testing.assert_array_equal(np.asarray(s1), v1[want])
+
+
 @pytest.mark.parametrize("n", [1 << 13, 1 << 16, (1 << 16) - 777, 1000, 1])
 def test_merge_sort_keys_random(rng, n):
     x = rng.integers(0, 2**32, n, dtype=np.uint32)
