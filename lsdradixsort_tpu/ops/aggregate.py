@@ -26,21 +26,23 @@ import jax.numpy as jnp
 from lsdradixsort_tpu.ops.filter import compact
 
 
-@functools.partial(jax.jit, static_argnames=("engine",))
+@functools.partial(jax.jit, static_argnames=("engine", "tile_log2"))
 def group_by_sum(group_keys: jax.Array, values: jax.Array,
-                 engine: str = "xla"):
+                 engine: str = "xla", tile_log2: int = 15):
     """GROUP BY group_keys SUM(values).
 
     Returns (num_groups, unique_keys_sorted, sums): the first `num_groups`
     rows of the outputs are the result; the tail is unspecified.
     """
     return group_by_aggregate(group_keys, values, reduction="sum",
-                              engine=engine)
+                              engine=engine, tile_log2=tile_log2)
 
 
-@functools.partial(jax.jit, static_argnames=("reduction", "engine"))
+@functools.partial(jax.jit,
+                   static_argnames=("reduction", "engine", "tile_log2"))
 def group_by_aggregate(group_keys: jax.Array, values: jax.Array,
-                       reduction: str = "sum", engine: str = "xla"):
+                       reduction: str = "sum", engine: str = "xla",
+                       tile_log2: int = 15):
     """GROUP BY with reduction in {"sum", "min", "max", "count"}.
 
     engine="merge" routes the grouping sort through the framework merge
@@ -53,7 +55,8 @@ def group_by_aggregate(group_keys: jax.Array, values: jax.Array,
         # the iota tiebreak stream (1.1-1.4x on the dominant sort)
         if engine == "merge":
             from lsdradixsort_tpu.ops.sort import merge_sort_multi
-            sk, (sv,) = merge_sort_multi(group_keys, [values])
+            sk, (sv,) = merge_sort_multi(group_keys, [values],
+                                         tile_log2=tile_log2)
         else:
             sk, sv = jax.lax.sort((group_keys, values), num_keys=1,
                                   is_stable=False)
@@ -62,7 +65,7 @@ def group_by_aggregate(group_keys: jax.Array, values: jax.Array,
     elif reduction == "count":
         if engine == "merge":
             from lsdradixsort_tpu.ops.sort import merge_sort_keys
-            sk = merge_sort_keys(group_keys)
+            sk = merge_sort_keys(group_keys, tile_log2=tile_log2)
         else:
             sk = jax.lax.sort(group_keys)
         is_last = jnp.concatenate([sk[1:] != sk[:-1],
@@ -86,7 +89,8 @@ def group_by_aggregate(group_keys: jax.Array, values: jax.Array,
         # compiles pathologically at >=2^24 on TPU)
         if engine == "merge":
             from lsdradixsort_tpu.ops.sort import merge_sort_multi
-            sk2, (sv2,) = merge_sort_multi(group_keys, [values])
+            sk2, (sv2,) = merge_sort_multi(group_keys, [values],
+                                           tile_log2=tile_log2)
         else:
             sk2, sv2 = jax.lax.sort((group_keys, values), num_keys=2,
                                     is_stable=False)

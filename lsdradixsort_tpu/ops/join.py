@@ -26,10 +26,10 @@ import jax.numpy as jnp
 from lsdradixsort_tpu.kernels.fill_forward import fill_forward_last
 
 
-@functools.partial(jax.jit, static_argnames=("engine",))
+@functools.partial(jax.jit, static_argnames=("engine", "tile_log2"))
 def hash_join(build_keys: jax.Array, build_vals: jax.Array,
               probe_keys: jax.Array, probe_vals: jax.Array,
-              engine: str = "xla"):
+              engine: str = "xla", tile_log2: int = 15):
     """Inner equi-join. Returns (count, probe_keys, probe_vals, build_vals)
     in probe order; rows past `count` are unspecified.
 
@@ -50,7 +50,8 @@ def hash_join(build_keys: jax.Array, build_vals: jax.Array,
 
     if engine == "merge":
         from lsdradixsort_tpu.ops.sort import merge_sort_multi
-        sk, (spacked, sval) = merge_sort_multi(keys, [packed, val])
+        sk, (spacked, sval) = merge_sort_multi(keys, [packed, val],
+                                               tile_log2=tile_log2)
     else:
         sk, spacked, sval = jax.lax.sort((keys, packed, val), num_keys=2,
                                          is_stable=False)

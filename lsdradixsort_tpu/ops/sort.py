@@ -77,10 +77,13 @@ def merge_sort_keys(keys: jax.Array, tile_log2: int = 15,
     if max_buf is None:
         max_buf = M.DEF_BUF
     if blk is None:
-        blk = M.DEF_BLK
+        blk = min(M.DEF_BLK, 1 << tile_log2)
     n = keys.shape[0]
     tile = 1 << tile_log2
-    npad = -(-n // tile) * tile
+    # power-of-2 tile count: every pass's run length (tile * 8^k) must
+    # divide the padded size, which a plain ceil-to-tile multiple does not
+    # guarantee (11 tiles -> pass 2 sees a ragged 3-tile run)
+    npad = tile * (1 << max(0, (-(-n // tile) - 1).bit_length()))
     x = keys if npad == n else jnp.concatenate(
         [keys, jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)])
     ok_all = jnp.bool_(True)
@@ -127,10 +130,10 @@ def merge_sort_with_ranks(keys: jax.Array, tile_log2: int = 15,
     if max_buf is None:
         max_buf = M.DEF_BUF
     if blk is None:
-        blk = M.DEF_BLK
+        blk = min(M.DEF_BLK, 1 << tile_log2)
     n = keys.shape[0]
     tile = 1 << tile_log2
-    npad = -(-n // tile) * tile
+    npad = tile * (1 << max(0, (-(-n // tile) - 1).bit_length()))
     x = keys if npad == n else jnp.concatenate(
         [keys, jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)])
     # pad rows carry iotas >= n: among equal sentinel keys the real rows
@@ -179,11 +182,11 @@ def merge_sort_multi(keys: jax.Array, values, tile_log2: int = 15,
     if max_buf is None:
         max_buf = M.DEF_BUF
     if blk is None:
-        blk = M.DEF_BLK
+        blk = min(M.DEF_BLK, 1 << tile_log2)
     values = list(values)
     n = keys.shape[0]
     tile = 1 << tile_log2
-    npad = -(-n // tile) * tile
+    npad = tile * (1 << max(0, (-(-n // tile) - 1).bit_length()))
     if npad != n:
         pad = jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)
         keys = jnp.concatenate([keys, pad])
@@ -206,9 +209,10 @@ def merge_sort_multi(keys: jax.Array, values, tile_log2: int = 15,
     return x, vs
 
 
-@functools.partial(jax.jit, static_argnames=("strategy", "r", "block_size"))
+@functools.partial(jax.jit, static_argnames=("strategy", "r", "block_size",
+                                             "tile_log2"))
 def sort_kv(keys: jax.Array, values: jax.Array, strategy: str = "xla",
-            r: int = 8, block_size: int = 1 << 13):
+            r: int = 8, block_size: int = 1 << 13, tile_log2: int = 15):
     """Stable key-value sort (north-star extension; keys u32, any payload).
 
     strategy="merge" runs the framework engine: the row index rides as
@@ -221,7 +225,8 @@ def sort_kv(keys: jax.Array, values: jax.Array, strategy: str = "xla",
         n = keys.shape[0]
         flat_vals, treedef = jax.tree.flatten(values)
         iota = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
-        sk, outs = merge_sort_multi(keys, [iota, *flat_vals])
+        sk, outs = merge_sort_multi(keys, [iota, *flat_vals],
+                                    tile_log2=tile_log2)
         return sk, jax.tree.unflatten(treedef, outs[1:])
     if strategy == "xla":
         return _stable_sort_kv_xla(keys, values)

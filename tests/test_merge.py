@@ -132,7 +132,8 @@ def test_multi_chunk_multi_stream_heavy_ties(rng):
     np.testing.assert_array_equal(np.asarray(s1), v1[want])
 
 
-@pytest.mark.parametrize("n", [1 << 13, 1 << 16, (1 << 16) - 777, 1000, 1])
+@pytest.mark.parametrize("n", [1 << 13, 1 << 16, (1 << 16) - 777, 1000, 1,
+                               11 * (1 << 10) + 5])
 def test_merge_sort_keys_random(rng, n):
     x = rng.integers(0, 2**32, n, dtype=np.uint32)
     np.testing.assert_array_equal(np.asarray(_msort(x)), np.sort(x))

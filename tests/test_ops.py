@@ -200,7 +200,7 @@ def test_group_by_sum_merge_engine(rng):
     gk = _keys(rng, 40_000, hi=500)
     v = _keys(rng, 40_000)
     count, uk, sums = ops.group_by_sum(jnp.asarray(gk), jnp.asarray(v),
-                                       engine="merge")
+                                       engine="merge", tile_log2=11)
     wk, ws = golden.group_by_sum(gk, v)
     c = int(count)
     assert c == wk.size
@@ -215,7 +215,7 @@ def test_hash_join_merge_engine(rng):
     pv = np.arange(20_000, dtype=np.uint32)
     count, jk, jpv, jbv = ops.hash_join(
         jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk), jnp.asarray(pv),
-        engine="merge")
+        engine="merge", tile_log2=11)
     wk, wpv, wbv = golden.hash_join(bk, bv, pk, pv)
     c = int(count)
     assert c == wk.size
@@ -230,7 +230,7 @@ def test_sort_kv_merge_strategy(rng):
     keys = rng.integers(0, 64, n, dtype=np.uint32)   # heavy duplicates
     vals = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
     gk, gv = ops.sort_kv(jnp.asarray(keys), jnp.asarray(vals),
-                         strategy="merge")
+                         strategy="merge", tile_log2=11)
     wk, wv = golden.lsd_radix_sort_kv(keys, vals)
     check_arrays(gk, wk, "kv keys merge")
     check_arrays(gv, wv, "kv vals merge (stability)")
