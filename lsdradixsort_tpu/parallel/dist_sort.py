@@ -145,8 +145,11 @@ def _dist_sort_shard(keys, values, ranks, axis, n_total, stable, src=None,
         if src is None:
             src = (me.astype(jnp.uint32) * jnp.uint32(n_local)
                    + jnp.arange(n_local, dtype=jnp.uint32))
-        sk, ssrc, *svals = jax.lax.sort((keys, src) + values, num_keys=1,
-                                        is_stable=True)
+        # src is a unique, position-consistent secondary key, so the
+        # 2-key UNSTABLE sort equals the stable 1-key sort minus XLA's
+        # 1.4x is_stable tax (see ops/sort.sort_with_ranks)
+        sk, ssrc, *svals = jax.lax.sort((keys, src) + values, num_keys=2,
+                                        is_stable=False)
     else:
         sk, *svals = jax.lax.sort((keys,) + values, num_keys=1,
                                   is_stable=False)
