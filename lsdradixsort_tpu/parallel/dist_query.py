@@ -82,8 +82,10 @@ def _dist_group_by_sum_shard(keys, vals, ranks, axis, n_total):
     # drop the head run when a previous shard owns it
     drop_head = (~own_head) & (sk == head_key)
     valid = is_last & ~drop_head
-    # compact valid runs to the front, keeping key order
-    order = jnp.argsort(~valid, stable=True)    # valid first, order kept
+    # compact valid runs to the front, keeping key order (iota tiebreak
+    # spelling == stable argsort minus XLA's is_stable tax)
+    _, order = jax.lax.sort(((~valid).astype(jnp.uint32), pos), num_keys=2,
+                            is_stable=False)    # valid first, order kept
     vk = sk[order]
     vcs = csum[order]
     vpos = pos[order]
