@@ -202,7 +202,9 @@ def _dist_join_shard(keys, val, src, ranks, axis, n_total):
 
     matched = (~is_build) & seg_hit
     count = jnp.sum(matched.astype(jnp.uint32))
-    order = jnp.argsort(~matched, stable=True)         # matches first
+    iota = jnp.arange(sk.shape[0], dtype=jnp.uint32)
+    _, order = jax.lax.sort(((~matched).astype(jnp.uint32), iota),
+                            num_keys=2, is_stable=False)  # matches first
     ppos = ssrc & jnp.uint32(0x7FFFFFFF)
     return (count.reshape(1), sk[order], sval[order], seg_bval[order],
             ppos[order])
