@@ -6,6 +6,17 @@ off-TPU) and exposes 8 virtual devices so the shard_map/collective paths —
 the multi-chip design — execute end-to-end (SURVEY.md §4).
 """
 import os
+import resource
+
+# XLA:CPU's LLVM pipeline C-stack-overflows (flaky segfault in
+# backend_compile_and_load) when compiling the big unrolled merge-engine
+# graphs late in the suite, where the Python/pytest stack is already deep.
+# The main-thread stack grows on demand up to the soft limit — raise it.
+_soft, _hard = resource.getrlimit(resource.RLIMIT_STACK)
+_want = 512 * 1024 * 1024
+if _soft != resource.RLIM_INFINITY and _soft < _want:
+    new = _want if _hard == resource.RLIM_INFINITY else min(_want, _hard)
+    resource.setrlimit(resource.RLIMIT_STACK, (new, _hard))
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: driver env may point at TPU
 flags = os.environ.get("XLA_FLAGS", "")
