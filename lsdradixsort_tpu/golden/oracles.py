@@ -163,3 +163,27 @@ def hash_join(build_keys: np.ndarray, build_vals: np.ndarray,
     pos_c = np.minimum(pos, bk_s.size - 1)
     hit = bk_s[pos_c] == pk
     return pk[hit], np.asarray(probe_vals)[hit], bv_s[pos_c[hit]]
+
+
+def hash_join_multi(build_keys: np.ndarray, build_vals: np.ndarray,
+                    probe_keys: np.ndarray, probe_vals: np.ndarray):
+    """Inner equi-join with DUPLICATE build keys allowed (many-to-many).
+
+    Probe-major output: for each probe row in input order, one output row
+    per matching build row, in stable build order (original build position
+    for equal keys). Returns (probe_keys, probe_vals, build_vals) arrays of
+    total-match length.
+    """
+    bk = np.asarray(build_keys)
+    order = np.argsort(bk, kind="stable")
+    bk_s, bv_s = bk[order], np.asarray(build_vals)[order]
+    pk = np.asarray(probe_keys)
+    pv = np.asarray(probe_vals)
+    lo = np.searchsorted(bk_s, pk, side="left")
+    hi = np.searchsorted(bk_s, pk, side="right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    p = np.repeat(np.arange(pk.size), cnt)           # probe id per out row
+    o = np.cumsum(cnt) - cnt                          # exclusive offsets
+    d = np.arange(total) - o[p]                       # dup index within run
+    return pk[p], pv[p], bv_s[lo[p] + d]

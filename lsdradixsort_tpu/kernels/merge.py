@@ -187,7 +187,10 @@ def merge_pass_tables(keys: jax.Array, run_len: int, buf_elems: int,
 
     nchunks = ngroups * nch
     pad_ch = -(-nchunks // 8) * 8
-    tab = jnp.zeros((pad_ch, NCOLS), jnp.int32)
+    # 8 extra all-zero rows beyond the grid so the pipelined kernel's
+    # look-ahead block (tab_next, chunk i+1) is always in bounds; zero rows
+    # start no DMAs and emit nothing. Grid = tab.shape[0] - 8.
+    tab = jnp.zeros((pad_ch + 8, NCOLS), jnp.int32)
     tab = tab.at[:nchunks, 0:KWAY].set(src_row.reshape(nchunks, KWAY))
     tab = tab.at[:nchunks, KWAY:2 * KWAY].set(s_wblk.reshape(nchunks, KWAY))
     tab = tab.at[:nchunks, 16].set(m.reshape(nchunks))
@@ -231,18 +234,23 @@ def _shift_flat_right(x, s: int):
 
 
 
-def _merge_kernel(tab_ref, x_hbm, o_hbm, buf, sems, *, bufrows: int,
-                  blk_rows: int, in_rows: int, ce: str = "roll"):
-    trow = pl.program_id(0) % 8
-    qrows = bufrows // 4
-    # largest power-of-2 block count whose DMA fits both buffers
-    max_ablk = min(qrows, in_rows) // blk_rows
-    abits = max_ablk.bit_length() - 1 if max_ablk else 0
-    ebits = min(bufrows, in_rows).bit_length() - 1
+def _load_windows(tab_ref, trow, in_hbms, bufs, sems, sbase, *, qrows: int,
+                  blk_rows: int, abits: int, action: str):
+    """Start and/or wait the KWAY window-load DMA sets for one chunk.
 
-    buf[...] = jnp.full((bufrows, LANES), 0xFFFFFFFF, jnp.uint32)  # +inf
+    A slots load contiguous ascending at quarter starts (bit-decomposed
+    into power-of-2 DMAs); B slots load per-block in mirrored order packed
+    at the quarter END, so the +inf pad gap sits between A (ascending) and
+    B (descending) — rise, plateau, fall stays bitonic.
 
-    # ---- load windows: A slots forward, B slots block-mirrored ----
+    action: "both" = start+wait inline (the serial path), "start" = issue
+    only, "wait" = re-derive identical descriptors and wait them. Deferred
+    waits are safe by byte conservation: every started DMA is waited on the
+    same semaphore pool before the buffers are read, so the last wait can
+    only return once every transfer has landed.
+    """
+    ns = len(bufs)
+    pool = ns * DEPTH
     for s in range(KWAY):
         q = s // 2
         src = tab_ref[trow, s]
@@ -254,90 +262,61 @@ def _merge_kernel(tab_ref, x_hbm, o_hbm, buf, sems, *, bufrows: int,
                 @pl.when((wblk & sz) != 0)
                 def _(src=src, wblk=wblk, j=j, sz=sz, q=q):
                     pref = ((wblk >> (j + 1)) << (j + 1)) * blk_rows
-                    dma = pltpu.make_async_copy(
-                        x_hbm.at[pl.ds(src + pref, sz * blk_rows), :],
-                        buf.at[pl.ds(q * qrows + pref, sz * blk_rows), :],
-                        sems.at[j % DEPTH])
-                    dma.start()
-                    dma.wait()
-        else:            # B: per-block, mirrored order, packed at the
-            # quarter END so the +inf pad gap sits between A (ascending)
-            # and B (descending) — rise, plateau, fall stays bitonic.
-            # DEPTH outstanding copies hide the per-descriptor issue cost
+                    for gi, (hbm, buf) in enumerate(zip(in_hbms, bufs)):
+                        dma = pltpu.make_async_copy(
+                            hbm.at[pl.ds(src + pref, sz * blk_rows), :],
+                            buf.at[pl.ds(q * qrows + pref,
+                                         sz * blk_rows), :],
+                            sems.at[sbase + (ns * j + gi) % pool])
+                        if action != "wait":
+                            dma.start()
+                        if action != "start":
+                            dma.wait()
+        else:            # B: per-block, mirrored; DEPTH block-groups
+            # outstanding hide the per-descriptor issue cost on the
+            # serial path
 
-            def mkb(b, src=src, wblk=wblk, q=q):
+            def mkb(b, gi, src=src, wblk=wblk, q=q):
                 dst = q * qrows + qrows - (b + 1) * blk_rows
                 return pltpu.make_async_copy(
-                    x_hbm.at[pl.ds(src + b * blk_rows, blk_rows), :],
-                    buf.at[pl.ds(dst, blk_rows), :],
-                    sems.at[b % DEPTH])
+                    in_hbms[gi].at[pl.ds(src + b * blk_rows, blk_rows), :],
+                    bufs[gi].at[pl.ds(dst, blk_rows), :],
+                    sems.at[sbase + (ns * b + gi) % pool])
 
-            def bbody(b, _):
-                @pl.when(b >= DEPTH)
-                def _():
-                    mkb(b - DEPTH).wait()
-                mkb(b).start()
-                return 0
-            jax.lax.fori_loop(0, wblk, bbody, 0)
+            if action == "both":
+                def bbody(b, _):
+                    @pl.when(b >= DEPTH)
+                    def _():
+                        for gi in range(ns):
+                            mkb(b - DEPTH, gi).wait()
+                    for gi in range(ns):
+                        mkb(b, gi).start()
+                    return 0
+                jax.lax.fori_loop(0, wblk, bbody, 0)
 
-            def bdrain(b, _):
-                mkb(b).wait()
-                return 0
-            jax.lax.fori_loop(jnp.maximum(wblk - DEPTH, 0), wblk, bdrain, 0)
-
-    x = buf[...]
-
-    # ---- make B regions descending: flip within blocks, masked ----
-    row = jax.lax.broadcasted_iota(jnp.int32, (bufrows, LANES), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bufrows, LANES), 1)
-    flipped = _flip_blocks(x, bufrows, blk_rows)
-    inb = jnp.zeros((bufrows, LANES), jnp.bool_)
-    for q in range(4):
-        wb = tab_ref[trow, KWAY + 2 * q + 1]
-        hi = (q + 1) * qrows
-        lo = hi - wb * blk_rows
-        inb = inb | ((row >= lo) & (row < hi))
-    x = jnp.where(inb, flipped, x)
-
-    # ---- half-cleaner cascade: quarters -> halves -> full ----
-    nbits = (bufrows * LANES).bit_length() - 1
-    bias = jnp.full((bufrows, LANES), -2147483648, jnp.int32)
-    key = x.astype(jnp.int32) ^ bias
-    for level in range(3):
-        size_bits = nbits - 2 + level
-        if level < 2:
-            desc = (row & (1 << (size_bits - 7))) != 0
-        else:
-            desc = jnp.zeros((bufrows, LANES), jnp.bool_)
-        for j in range(size_bits - 1, -1, -1):
-            dist = 1 << j
-            if dist >= 8 * LANES and ce == "reshape":
-                key, _ = ce_stage_reshape(
-                    key, None, dist // LANES,
-                    size_bits - j - 1 if level < 2 else None, bufrows)
-                continue
-            if dist < LANES:
-                is_lower = (lane & dist) == 0
-                pk = jnp.where(is_lower, pltpu.roll(key, LANES - dist, 1),
-                               pltpu.roll(key, dist, 1))
+                def bdrain(b, _):
+                    for gi in range(ns):
+                        mkb(b, gi).wait()
+                    return 0
+                jax.lax.fori_loop(jnp.maximum(wblk - DEPTH, 0), wblk,
+                                  bdrain, 0)
             else:
-                rd = dist // LANES
-                is_lower = (row & rd) == 0
-                pk = jnp.where(is_lower, pltpu.roll(key, bufrows - rd, 0),
-                               pltpu.roll(key, rd, 0))
-            want_small = is_lower ^ desc
-            swap = (pk < key) == want_small
-            key = jnp.where(swap, pk, key)
-    x = (key ^ bias).astype(jnp.uint32)
+                def bone(b, _):
+                    for gi in range(ns):
+                        d = mkb(b, gi)
+                        if action == "start":
+                            d.start()
+                        else:
+                            d.wait()
+                    return 0
+                jax.lax.fori_loop(0, wblk, bone, 0)
 
-    # ---- roll right by m (dynamic, bit-decomposed) to 128-align emit ----
-    m = tab_ref[trow, 16]
-    for j in range(6, -1, -1):
-        sz = 1 << j
-        x = jnp.where((m & sz) != 0, _shift_flat_right(x, sz), x)
-    buf[...] = x
 
-    # ---- emit exactly the chunk's rows at final positions ----
+def _emit_rows(tab_ref, trow, bufs, out_hbms, sems, sbase, *, ebits: int,
+               action: str):
+    """Start and/or wait the bit-decomposed emit DMAs for one chunk."""
+    ns = len(bufs)
+    pool = ns * DEPTH
     e0 = tab_ref[trow, 17]
     o0 = tab_ref[trow, 18]
     ecnt = tab_ref[trow, 19]
@@ -347,86 +326,24 @@ def _merge_kernel(tab_ref, x_hbm, o_hbm, buf, sems, *, bufrows: int,
         @pl.when((ecnt & sz) != 0)
         def _(j=j, sz=sz):
             pref = (ecnt >> (j + 1)) << (j + 1)
-            dma = pltpu.make_async_copy(
-                buf.at[pl.ds(e0 + pref, sz), :],
-                o_hbm.at[pl.ds(o0 + pref, sz), :],
-                sems.at[j % DEPTH])
-            dma.start()
-            dma.wait()
+            for gi, (buf, hbm) in enumerate(zip(bufs, out_hbms)):
+                dma = pltpu.make_async_copy(
+                    buf.at[pl.ds(e0 + pref, sz), :],
+                    hbm.at[pl.ds(o0 + pref, sz), :],
+                    sems.at[sbase + (ns * j + gi) % pool])
+                if action != "wait":
+                    dma.start()
+                if action != "start":
+                    dma.wait()
 
 
-def _merge_kernel_multi(tab_ref, *refs, bufrows: int, blk_rows: int,
-                        in_rows: int, ce: str, ns: int):
-    """Multi-stream variant: ns = 1 + #payload streams. The FIRST payload
-    acts as the comparison tiebreak, so when it is unique and ordered
-    consistently with run order (e.g. the original row index, as in
-    sort_with_ranks) the merge is a stable key sort; further payloads ride
-    the exchanges uncompared. refs layout: in_hbms[ns], out_hbms[ns],
-    bufs[ns], sems (pool of ns*DEPTH)."""
-    in_hbms = refs[:ns]
-    out_hbms = refs[ns:2 * ns]
-    bufs = refs[2 * ns:3 * ns]
-    sems = refs[3 * ns]
-    trow = pl.program_id(0) % 8
+def _merge_compute(xs, tab_ref, trow, *, bufrows: int, blk_rows: int,
+                   ce: str):
+    """The in-VMEM merge: flip B regions descending, run the half-cleaner
+    cascade (quarters -> halves -> full), roll right to the 128-alignment
+    boundary. xs = [keys] + payload streams; xs[1] (if present) is the
+    comparison tiebreak, further streams ride uncompared."""
     qrows = bufrows // 4
-    max_ablk = min(qrows, in_rows) // blk_rows
-    abits = max_ablk.bit_length() - 1 if max_ablk else 0
-    ebits = min(bufrows, in_rows).bit_length() - 1
-
-    for buf in bufs:
-        buf[...] = jnp.full((bufrows, LANES), 0xFFFFFFFF, jnp.uint32)
-
-    for s in range(KWAY):
-        q = s // 2
-        src = tab_ref[trow, s]
-        wblk = tab_ref[trow, KWAY + s]
-        if s % 2 == 0:
-            for j in range(abits, -1, -1):
-                sz = 1 << j
-
-                @pl.when((wblk & sz) != 0)
-                def _(src=src, wblk=wblk, j=j, sz=sz, q=q):
-                    pref = ((wblk >> (j + 1)) << (j + 1)) * blk_rows
-                    for gi, (hbm, buf) in enumerate(zip(in_hbms, bufs)):
-                        dma = pltpu.make_async_copy(
-                            hbm.at[pl.ds(src + pref, sz * blk_rows), :],
-                            buf.at[pl.ds(q * qrows + pref,
-                                         sz * blk_rows), :],
-                            sems.at[(ns * j + gi) % (ns * DEPTH)])
-                        dma.start()
-                        dma.wait()
-        else:
-            # B at the quarter END, mirrored (see keys kernel); DEPTH
-            # block-groups outstanding (ns streams per block; the
-            # semaphore pool is ns*DEPTH so every variant keeps the keys
-            # path's DMA depth)
-
-            def mkb(b, gi, src=src, wblk=wblk, q=q):
-                dst = q * qrows + qrows - (b + 1) * blk_rows
-                return pltpu.make_async_copy(
-                    in_hbms[gi].at[pl.ds(src + b * blk_rows, blk_rows), :],
-                    bufs[gi].at[pl.ds(dst, blk_rows), :],
-                    sems.at[(ns * b + gi) % (ns * DEPTH)])
-
-            def bbody(b, _):
-                @pl.when(b >= DEPTH)
-                def _():
-                    for gi in range(ns):
-                        mkb(b - DEPTH, gi).wait()
-                for gi in range(ns):
-                    mkb(b, gi).start()
-                return 0
-            jax.lax.fori_loop(0, wblk, bbody, 0)
-
-            def bdrain(b, _):
-                for gi in range(ns):
-                    mkb(b, gi).wait()
-                return 0
-            jax.lax.fori_loop(jnp.maximum(wblk - DEPTH, 0), wblk,
-                              bdrain, 0)
-
-    xs = [buf[...] for buf in bufs]
-
     row = jax.lax.broadcasted_iota(jnp.int32, (bufrows, LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (bufrows, LANES), 1)
     inb = jnp.zeros((bufrows, LANES), jnp.bool_)
@@ -451,7 +368,7 @@ def _merge_kernel_multi(tab_ref, *refs, bufrows: int, blk_rows: int,
             dist = 1 << j
             if dist >= 8 * LANES and ce == "reshape":
                 key, vals = ce_stage_reshape(
-                    key, vals, dist // LANES,
+                    key, vals if vals else None, dist // LANES,
                     size_bits - j - 1 if level < 2 else None, bufrows)
                 vals = [] if vals is None else vals
                 continue
@@ -494,38 +411,109 @@ def _merge_kernel_multi(tab_ref, *refs, bufrows: int, blk_rows: int,
         sz = 1 << j
         bit = (m & sz) != 0
         xs = [jnp.where(bit, _shift_flat_right(x, sz), x) for x in xs]
+    return xs
+
+
+def _merge_kernel_multi(tab_ref, *refs, bufrows: int, blk_rows: int,
+                        in_rows: int, ce: str, ns: int):
+    """Serial multi-stream kernel: ns = 1 + #payload streams (ns=1 is the
+    keys-only sort). The FIRST payload acts as the comparison tiebreak, so
+    when it is unique and ordered consistently with run order (e.g. the
+    original row index, as in sort_with_ranks) the merge is a stable key
+    sort; further payloads ride the exchanges uncompared. refs layout:
+    in_hbms[ns], out_hbms[ns], bufs[ns], sems (pool of ns*DEPTH)."""
+    in_hbms = refs[:ns]
+    out_hbms = refs[ns:2 * ns]
+    bufs = list(refs[2 * ns:3 * ns])
+    sems = refs[3 * ns]
+    trow = pl.program_id(0) % 8
+    qrows = bufrows // 4
+    max_ablk = min(qrows, in_rows) // blk_rows
+    abits = max_ablk.bit_length() - 1 if max_ablk else 0
+    ebits = min(bufrows, in_rows).bit_length() - 1
+
+    for buf in bufs:
+        buf[...] = jnp.full((bufrows, LANES), 0xFFFFFFFF, jnp.uint32)
+    _load_windows(tab_ref, trow, in_hbms, bufs, sems, 0, qrows=qrows,
+                  blk_rows=blk_rows, abits=abits, action="both")
+    xs = _merge_compute([buf[...] for buf in bufs], tab_ref, trow,
+                        bufrows=bufrows, blk_rows=blk_rows, ce=ce)
     for buf, x in zip(bufs, xs):
         buf[...] = x
+    _emit_rows(tab_ref, trow, bufs, out_hbms, sems, 0, ebits=ebits,
+               action="both")
 
-    e0 = tab_ref[trow, 17]
-    o0 = tab_ref[trow, 18]
-    ecnt = tab_ref[trow, 19]
-    for j in range(ebits, -1, -1):
-        sz = 1 << j
 
-        @pl.when((ecnt & sz) != 0)
-        def _(j=j, sz=sz):
-            pref = (ecnt >> (j + 1)) << (j + 1)
-            for gi, (buf, hbm) in enumerate(zip(bufs, out_hbms)):
-                dma = pltpu.make_async_copy(
-                    buf.at[pl.ds(e0 + pref, sz), :],
-                    hbm.at[pl.ds(o0 + pref, sz), :],
-                    sems.at[(ns * j + gi) % (ns * DEPTH)])
-                dma.start()
-                dma.wait()
+def _merge_kernel_multi_pipe(tabc_ref, tabn_ref, *refs, bufrows: int,
+                             blk_rows: int, in_rows: int, ce: str, ns: int):
+    """Pipelined variant: chunk i+1's window DMAs land in a STAGING buffer
+    set while chunk i's merge cascade runs on the COMPUTE set, hiding the
+    window-load transfer time (~10-20% of the serial pass) behind compute.
+
+    Per grid step i: wait chunk i's loads (started at step i-1, or started
+    inline at i=0), vector-copy staging -> compute, refill staging with
+    +inf pads, start chunk i+1's loads (from tabn = the look-ahead table
+    block; the prepass pads 8 zero rows past the grid so this is always in
+    bounds and the final step starts zero DMAs), then merge + emit from
+    the compute set. Loads use sems[0:pool], emits sems[pool:2*pool], so
+    in-flight next-chunk loads never share a semaphore with emit waits.
+
+    refs layout: in_hbms[ns], out_hbms[ns], comp[ns], stage[ns],
+    sems (pool of 2*ns*DEPTH)."""
+    in_hbms = refs[:ns]
+    out_hbms = refs[ns:2 * ns]
+    comp = list(refs[2 * ns:3 * ns])
+    stage = list(refs[3 * ns:4 * ns])
+    sems = refs[4 * ns]
+    i = pl.program_id(0)
+    trow = i % 8
+    ntrow = (i + 1) % 8
+    qrows = bufrows // 4
+    max_ablk = min(qrows, in_rows) // blk_rows
+    abits = max_ablk.bit_length() - 1 if max_ablk else 0
+    ebits = min(bufrows, in_rows).bit_length() - 1
+    pool = ns * DEPTH
+
+    @pl.when(i == 0)
+    def _():
+        for buf in stage:
+            buf[...] = jnp.full((bufrows, LANES), 0xFFFFFFFF, jnp.uint32)
+        _load_windows(tabc_ref, trow, in_hbms, stage, sems, 0, qrows=qrows,
+                      blk_rows=blk_rows, abits=abits, action="start")
+
+    _load_windows(tabc_ref, trow, in_hbms, stage, sems, 0, qrows=qrows,
+                  blk_rows=blk_rows, abits=abits, action="wait")
+    for cb, sb in zip(comp, stage):
+        cb[...] = sb[...]
+    for buf in stage:
+        buf[...] = jnp.full((bufrows, LANES), 0xFFFFFFFF, jnp.uint32)
+    _load_windows(tabn_ref, ntrow, in_hbms, stage, sems, 0, qrows=qrows,
+                  blk_rows=blk_rows, abits=abits, action="start")
+
+    xs = _merge_compute([cb[...] for cb in comp], tabc_ref, trow,
+                        bufrows=bufrows, blk_rows=blk_rows, ce=ce)
+    for cb, x in zip(comp, xs):
+        cb[...] = x
+    _emit_rows(tabc_ref, trow, comp, out_hbms, sems, pool, ebits=ebits,
+               action="both")
 
 
 @functools.partial(jax.jit,
                    static_argnames=("run_len", "buf_elems", "blk",
-                                    "interpret", "ce"))
+                                    "interpret", "ce", "pipeline"))
 def merge_pass_multi(keys: jax.Array, vals, tables: jax.Array,
                      run_len: int, buf_elems: int, blk: int = DEF_BLK,
-                     interpret: bool | None = None, ce: str = "roll"):
+                     interpret: bool | None = None, ce: str = "roll",
+                     pipeline: bool = True):
     """One KWAY merge pass with any number of payload streams.
 
     vals: tuple/list of (n,) uint32 arrays. The FIRST is the comparison
     tiebreak (see _merge_kernel_multi); the rest ride uncompared. Returns
     (sorted_keys, [payloads...]).
+
+    pipeline=True double-buffers the window loads (next chunk's DMAs land
+    behind the current chunk's merge cascade) at the cost of ns extra VMEM
+    buffers; pipeline=False is the serial single-buffer kernel.
 
     Contract (multi-payload): the pass orders rows by (key, val0) but
     assigns equal keys to output chunks by their input position, so with
@@ -540,32 +528,44 @@ def merge_pass_multi(keys: jax.Array, vals, tables: jax.Array,
     ns = 1 + len(vals)
     n = keys.shape[0]
     bufrows = buf_elems // LANES
-    kern = functools.partial(_merge_kernel_multi, bufrows=bufrows,
-                             blk_rows=blk // LANES, in_rows=n // LANES,
-                             ce=ce, ns=ns)
     tab_spec = pl.BlockSpec((8, NCOLS), lambda i: (i // 8, 0),
                             memory_space=pltpu.SMEM)
+    if pipeline:
+        kern = functools.partial(_merge_kernel_multi_pipe, bufrows=bufrows,
+                                 blk_rows=blk // LANES, in_rows=n // LANES,
+                                 ce=ce, ns=ns)
+        tabn_spec = pl.BlockSpec((8, NCOLS), lambda i: ((i + 1) // 8, 0),
+                                 memory_space=pltpu.SMEM)
+        tab_specs, tabs = [tab_spec, tabn_spec], (tables, tables)
+        nbuf, sem_pool = 2 * ns, 2 * ns * DEPTH
+    else:
+        kern = functools.partial(_merge_kernel_multi, bufrows=bufrows,
+                                 blk_rows=blk // LANES, in_rows=n // LANES,
+                                 ce=ce, ns=ns)
+        tab_specs, tabs = [tab_spec], (tables,)
+        nbuf, sem_pool = ns, ns * DEPTH
     shape = jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32)
     outs = pl.pallas_call(
         kern,
-        grid=(tables.shape[0],),
-        in_specs=[tab_spec] + [pl.BlockSpec(memory_space=pl.ANY)] * ns,
+        grid=(tables.shape[0] - 8,),
+        in_specs=tab_specs + [pl.BlockSpec(memory_space=pl.ANY)] * ns,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * ns,
         out_shape=[shape] * ns,
         scratch_shapes=(
-            [pltpu.VMEM((bufrows, LANES), jnp.uint32)] * ns
-            + [pltpu.SemaphoreType.DMA((ns * DEPTH,))]),
+            [pltpu.VMEM((bufrows, LANES), jnp.uint32)] * nbuf
+            + [pltpu.SemaphoreType.DMA((sem_pool,))]),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(tables, keys.reshape(n // LANES, LANES),
+    )(*tabs, keys.reshape(n // LANES, LANES),
       *[v.reshape(n // LANES, LANES) for v in vals])
     return outs[0].reshape(n), [o.reshape(n) for o in outs[1:]]
 
 
 def merge_pass_kv(keys: jax.Array, vals: jax.Array, tables: jax.Array,
                   run_len: int, buf_elems: int, blk: int = DEF_BLK,
-                  interpret: bool | None = None, ce: str = "roll"):
+                  interpret: bool | None = None, ce: str = "roll",
+                  pipeline: bool = True):
     """One KWAY merge pass carrying a payload stream (merge_pass_multi
     with a single payload).
 
@@ -574,41 +574,23 @@ def merge_pass_kv(keys: jax.Array, vals: jax.Array, tables: jax.Array,
     consistent with run order (e.g. original row indices)."""
     ok, ovs = merge_pass_multi(keys, [vals], tables, run_len=run_len,
                                buf_elems=buf_elems, blk=blk,
-                               interpret=interpret, ce=ce)
+                               interpret=interpret, ce=ce,
+                               pipeline=pipeline)
     return ok, ovs[0]
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("run_len", "buf_elems", "blk",
-                                    "interpret", "ce"))
 def merge_pass(keys: jax.Array, tables: jax.Array, run_len: int,
                buf_elems: int, blk: int = DEF_BLK,
-               interpret: bool | None = None,
-               ce: str = "roll") -> jax.Array:
-    """Execute one KWAY merge pass given prepass tables.
+               interpret: bool | None = None, ce: str = "roll",
+               pipeline: bool = True) -> jax.Array:
+    """Execute one KWAY keys-only merge pass given prepass tables
+    (merge_pass_multi with no payload streams).
 
     keys: (n,) uint32, sorted in runs of run_len (n % run_len == 0).
     Returns keys re-ordered into sorted runs of KWAY*run_len.
     """
-    if interpret is None:
-        interpret = _interpret_default()
-    n = keys.shape[0]
-    bufrows = buf_elems // LANES
-    kern = functools.partial(_merge_kernel, bufrows=bufrows,
-                             blk_rows=blk // LANES, in_rows=n // LANES,
-                             ce=ce)
-    tab_spec = pl.BlockSpec((8, NCOLS), lambda i: (i // 8, 0),
-                            memory_space=pltpu.SMEM)
-    out = pl.pallas_call(
-        kern,
-        grid=(tables.shape[0],),
-        in_specs=[tab_spec, pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((bufrows, LANES), jnp.uint32),
-                        pltpu.SemaphoreType.DMA((DEPTH,))],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(tables, keys.reshape(n // LANES, LANES))
-    return out.reshape(n)
+    out, _ = merge_pass_multi(keys, [], tables, run_len=run_len,
+                              buf_elems=buf_elems, blk=blk,
+                              interpret=interpret, ce=ce,
+                              pipeline=pipeline)
+    return out

@@ -56,7 +56,7 @@ def merge_sort_keys(keys: jax.Array, tile_log2: int = 15,
                     max_buf: int | None = None,
                     blk: int | None = None,
                     skew_fallback: bool = True,
-                    ce: str = "roll"):
+                    ce: str = "roll", pipeline: bool = True):
     """The framework sort: tile sort + 8-way merge passes (kernels/merge.py).
 
     Any n >= 1 (padded internally with 0xFFFFFFFF sentinels). tile_log2 /
@@ -101,13 +101,14 @@ def merge_sort_keys(keys: jax.Array, tile_log2: int = 15,
             x = jax.lax.cond(
                 ok,
                 lambda x, tab: M.merge_pass(x, tab, run_len=run,
-                                            buf_elems=buf, blk=blk, ce=ce),
+                                            buf_elems=buf, blk=blk, ce=ce,
+                                            pipeline=pipeline),
                 lambda x, tab: jax.lax.sort(x),
                 x, tab)
         else:
             ok_all = ok_all & ok
             x = M.merge_pass(x, tab, run_len=run, buf_elems=buf, blk=blk,
-                             ce=ce)
+                             ce=ce, pipeline=pipeline)
         run *= M.KWAY
     x = x[:n] if npad != n else x
     return x if skew_fallback else (x, ok_all)
@@ -116,7 +117,7 @@ def merge_sort_keys(keys: jax.Array, tile_log2: int = 15,
 def merge_sort_with_ranks(keys: jax.Array, tile_log2: int = 15,
                           max_buf: int | None = None,
                           blk: int | None = None,
-                          ce: str = "roll"):
+                          ce: str = "roll", pipeline: bool = True):
     """Framework stable kv sort: returns (sorted_keys, original_positions).
 
     The row index rides as the payload through the tile sort and every
@@ -147,7 +148,8 @@ def merge_sort_with_ranks(keys: jax.Array, tile_log2: int = 15,
         x, v = jax.lax.cond(
             ok,
             lambda x, v, tab: M.merge_pass_kv(x, v, tab, run_len=run,
-                                              buf_elems=buf, blk=blk, ce=ce),
+                                              buf_elems=buf, blk=blk, ce=ce,
+                                              pipeline=pipeline),
             lambda x, v, tab: jax.lax.sort((x, v), num_keys=2,
                                            is_stable=False),
             x, v, tab)
@@ -158,7 +160,7 @@ def merge_sort_with_ranks(keys: jax.Array, tile_log2: int = 15,
 def merge_sort_multi(keys: jax.Array, values, tile_log2: int = 15,
                      max_buf: int | None = None,
                      blk: int | None = None,
-                     ce: str = "roll"):
+                     ce: str = "roll", pipeline: bool = True):
     """Framework sort of (keys, values[0]) lexicographic with any number of
     payload streams riding (kernels/merge.py multi-stream engine).
 
@@ -199,7 +201,8 @@ def merge_sort_multi(keys: jax.Array, values, tile_log2: int = 15,
         x, vs = jax.lax.cond(
             ok,
             lambda x, vs, tab: M.merge_pass_multi(
-                x, vs, tab, run_len=run, buf_elems=buf, blk=blk, ce=ce),
+                x, vs, tab, run_len=run, buf_elems=buf, blk=blk, ce=ce,
+                pipeline=pipeline),
             lambda x, vs, tab: (lambda out: (out[0], list(out[1:])))(
                 jax.lax.sort((x, *vs), num_keys=2, is_stable=False)),
             x, vs, tab)

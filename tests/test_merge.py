@@ -22,7 +22,8 @@ def _msort(keys):
                            tile_log2=TILE_LOG, max_buf=MAXBUF, blk=BLK)
 
 
-def test_single_pass_tables_and_merge(rng):
+@pytest.mark.parametrize("pipeline", [True, False])
+def test_single_pass_tables_and_merge(rng, pipeline):
     # 8 sorted runs of 1024 -> one 8192 run, single chunk per group
     n, L = 1 << 13, 1 << 10
     x = np.sort(rng.integers(0, 2**32, (8, L), dtype=np.uint32),
@@ -31,7 +32,7 @@ def test_single_pass_tables_and_merge(rng):
     tab, ok = M.merge_pass_tables(jnp.asarray(x), L, buf, BLK)
     assert bool(ok)
     out = M.merge_pass(jnp.asarray(x), tab, run_len=L, buf_elems=buf,
-                       blk=BLK)
+                       blk=BLK, pipeline=pipeline)
     np.testing.assert_array_equal(np.asarray(out), np.sort(x))
 
 
@@ -110,7 +111,8 @@ def test_multi_chunk_pass(rng):
     np.testing.assert_array_equal(np.asarray(out), np.sort(x))
 
 
-def test_multi_chunk_multi_stream_heavy_ties(rng):
+@pytest.mark.parametrize("pipeline", [True, False])
+def test_multi_chunk_multi_stream_heavy_ties(rng, pipeline):
     # multi-chunk pass with riding streams: equal keys span chunk
     # boundaries; val0 (global position) satisfies the consistency
     # contract, v1 must arrive uncorrupted at exact positions
@@ -125,7 +127,7 @@ def test_multi_chunk_multi_stream_heavy_ties(rng):
     assert bool(ok)
     sk, (s0, s1) = M.merge_pass_multi(
         jnp.asarray(k), [jnp.asarray(v0), jnp.asarray(v1)], tab,
-        run_len=L, buf_elems=buf, blk=BLK)
+        run_len=L, buf_elems=buf, blk=BLK, pipeline=pipeline)
     want = np.lexsort((v0, k))
     np.testing.assert_array_equal(np.asarray(sk), k[want])
     np.testing.assert_array_equal(np.asarray(s0), v0[want])
