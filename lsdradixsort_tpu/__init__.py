@@ -24,7 +24,7 @@ from lsdradixsort_tpu.ops.sort import (sort, sort_kv, argsort,
                                        merge_sort_multi)
 from lsdradixsort_tpu.ops.filter import filter_keys, filter_kv, compact
 from lsdradixsort_tpu.ops.aggregate import group_by_sum, group_by_aggregate
-from lsdradixsort_tpu.ops.join import hash_join
+from lsdradixsort_tpu.ops.join import hash_join, hash_join_multi
 from lsdradixsort_tpu.kernels.histogram import digit_histogram, block_digit_histograms
 from lsdradixsort_tpu.kernels.scan import exclusive_scan, block_prefix_sums
 from lsdradixsort_tpu.kernels.tile_sort import (sort_tiles, sort_tiles_kv,
@@ -41,7 +41,7 @@ __all__ = [
     "shuffle_row_runs", "fill_forward_last",
     "filter_keys", "filter_kv", "compact",
     "group_by_sum", "group_by_aggregate",
-    "hash_join",
+    "hash_join", "hash_join_multi",
     "digit_histogram", "block_digit_histograms",
     "exclusive_scan", "block_prefix_sums",
     "digits", "datagen", "timing", "roofline",

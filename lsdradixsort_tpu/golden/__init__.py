@@ -8,4 +8,5 @@ from lsdradixsort_tpu.golden.oracles import (  # noqa: F401
     filter_keys,
     group_by_sum,
     hash_join,
+    hash_join_multi,
 )

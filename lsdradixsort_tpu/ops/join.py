@@ -13,8 +13,10 @@ pointer-chasing hash table (TPU has no efficient random access):
      compacts the hits to the front in probe order, matching the golden
      model bit-exactly.
 
-Build keys must be unique (primary-key join), as in the golden oracle.
-Output arrays are full probe length; the first `count` rows are valid.
+`hash_join` requires unique build keys (primary-key join), as in the
+golden oracle; output arrays are full probe length, first `count` rows
+valid. `hash_join_multi` lifts the restriction to many-to-many (duplicate
+build keys) with a caller-supplied static output bound.
 """
 from __future__ import annotations
 
@@ -77,3 +79,89 @@ def hash_join(build_keys: jax.Array, build_vals: jax.Array,
                                    num_keys=1, is_stable=False)
     # outputs are probe-length: matches (<= np_) sorted to the front
     return count, ok[:np_], opv[:np_], obv[:np_]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_out", "engine", "tile_log2"))
+def hash_join_multi(build_keys: jax.Array, build_vals: jax.Array,
+                    probe_keys: jax.Array, probe_vals: jax.Array,
+                    max_out: int, engine: str = "xla",
+                    tile_log2: int = 15):
+    """Inner equi-join with DUPLICATE build keys allowed (many-to-many).
+
+    Lifts hash_join's primary-key restriction: every probe row matches ALL
+    build rows sharing its key. Probe-major output — for each probe row in
+    input order, one output row per matching build row, matching build rows
+    in stable build order. Returns (count, probe_keys, probe_vals,
+    build_vals); the arrays are `max_out` long, rows past min(count,
+    max_out) are unspecified, and if count > max_out the arrays hold the
+    correct first max_out rows (count is the untruncated total, so callers
+    can detect overflow and re-run with a larger bound — the TPU-native
+    spelling of a data-dependent output size under static shapes).
+
+    Same sort-based design as hash_join, plus run geometry: the sorted
+    build side is described per run by (start, length); probes pick their
+    run up via the fill-forward broadcast, and a rank-decode expansion
+    (exclusive scan of per-probe lengths + searchsorted) materializes the
+    cross-product rows without any scatter.
+    """
+    nb, np_ = build_keys.shape[0], probe_keys.shape[0]
+
+    # sorted build side, stable (original position tiebreak)
+    sbk, _, sbv = jax.lax.sort(
+        (build_keys, jnp.arange(nb, dtype=jnp.uint32), build_vals),
+        num_keys=2, is_stable=False)
+    bpos = jnp.arange(nb, dtype=jnp.uint32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), sbk[1:] != sbk[:-1]])
+    # run start index per build row: last flagged (run-head) row at-or-
+    # before me — one fill-forward sweep
+    _, run_start, _ = fill_forward_last(is_start, sbk, bpos)
+    # run length, valid AT THE LAST ROW of each run (the only row whose
+    # value the probe-side fill-forward ever delivers)
+    run_len = bpos - run_start + jnp.uint32(1)
+
+    # combined (key, tag|pos) sort — build rows first per key. Build and
+    # probe rows are disjoint, so the two value streams are dual-use:
+    # stream1 = run_start (build) / probe_val (probe), stream2 = run_len
+    # (build) / dead (probe).
+    keys = jnp.concatenate([sbk, probe_keys])
+    packed = jnp.concatenate([
+        bpos, jnp.arange(np_, dtype=jnp.uint32) | jnp.uint32(0x80000000)])
+    stream1 = jnp.concatenate([run_start, probe_vals])
+    stream2 = jnp.concatenate([run_len, jnp.zeros((np_,), jnp.uint32)])
+    if engine == "merge":
+        from lsdradixsort_tpu.ops.sort import merge_sort_multi
+        sk, (spacked, s1, s2) = merge_sort_multi(
+            keys, [packed, stream1, stream2], tile_log2=tile_log2)
+    else:
+        sk, spacked, s1, s2 = jax.lax.sort(
+            (keys, packed, stream1, stream2), num_keys=2, is_stable=False)
+    is_build = spacked < jnp.uint32(0x80000000)
+
+    # each probe row learns its key's build-run (start, len); the last
+    # build row at-or-before it is its run's LAST row, where run_len is
+    # exact. Two fill-forward sweeps (one per carried scalar).
+    bk_fill, f_start, has_build = fill_forward_last(is_build, sk, s1)
+    _, f_len, _ = fill_forward_last(is_build, sk, s2)
+    matched = ~is_build & (has_build == 1) & (bk_fill == sk)
+    lens = jnp.where(matched, f_len, jnp.uint32(0))
+
+    # compact hit probes to the front in probe order; misses (and build
+    # rows) carry len 0 and sort past them
+    order_key = jnp.where(matched, spacked & jnp.uint32(0x7FFFFFFF),
+                          jnp.uint32(0xFFFFFFFF))
+    _, cpk, cpv, cstart, clen = jax.lax.sort(
+        (order_key, sk, s1, f_start, lens), num_keys=1, is_stable=False)
+    count = jnp.sum(clen, dtype=jnp.uint32)
+
+    # rank-decode expansion: output row j belongs to the hit probe r with
+    # offs[r] <= j < offs[r]+clen[r]; offsets are strictly increasing over
+    # hits (len >= 1) and flat (= count) after them, so r is a searchsorted
+    offs = jnp.cumsum(clen, dtype=jnp.uint32) - clen
+    j = jnp.arange(max_out, dtype=jnp.uint32)
+    r = jnp.searchsorted(offs, j, side="right").astype(jnp.uint32)
+    r = jnp.maximum(r, jnp.uint32(1)) - jnp.uint32(1)
+    d = j - offs[r]
+    bidx = jnp.minimum(cstart[r] + d, jnp.uint32(max(nb - 1, 0)))
+    return count, cpk[r], cpv[r], sbv[bidx]

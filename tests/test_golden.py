@@ -90,3 +90,27 @@ def test_hash_join(rng):
     np.testing.assert_array_equal(mk, pk[mask])
     np.testing.assert_array_equal(mpv, pv[mask])
     np.testing.assert_array_equal(mbv, pk[mask] * 7)
+
+
+def test_hash_join_multi_golden(rng):
+    # duplicate build keys: every probe matches ALL build rows of its key,
+    # in stable build order, probe-major
+    bk = np.array([5, 3, 5, 7, 3], dtype=np.uint32)
+    bv = np.array([50, 30, 51, 70, 31], dtype=np.uint32)
+    pk = np.array([3, 9, 5, 3], dtype=np.uint32)
+    pv = np.array([100, 101, 102, 103], dtype=np.uint32)
+    mk, mpv, mbv = golden.hash_join_multi(bk, bv, pk, pv)
+    np.testing.assert_array_equal(mk, [3, 3, 5, 5, 3, 3])
+    np.testing.assert_array_equal(mpv, [100, 100, 102, 102, 103, 103])
+    np.testing.assert_array_equal(mbv, [30, 31, 50, 51, 30, 31])
+
+
+def test_hash_join_multi_reduces_to_unique(rng):
+    # with unique build keys the many-to-many oracle equals hash_join
+    bk = rng.permutation(np.arange(100, dtype=np.uint32))
+    bv = bk * 7
+    pk = rng.integers(0, 200, size=500, dtype=np.uint32)
+    pv = np.arange(500, dtype=np.uint32)
+    for a, b in zip(golden.hash_join_multi(bk, bv, pk, pv),
+                    golden.hash_join(bk, bv, pk, pv)):
+        np.testing.assert_array_equal(a, b)

@@ -234,3 +234,45 @@ def test_sort_kv_merge_strategy(rng):
     wk, wv = golden.lsd_radix_sort_kv(keys, vals)
     check_arrays(gk, wk, "kv keys merge")
     check_arrays(gv, wv, "kv vals merge (stability)")
+
+
+@pytest.mark.parametrize("engine", ["xla", "merge"])
+def test_hash_join_multi(rng, engine):
+    # many-to-many: ~6 build rows per key, every probe key may repeat
+    bk = _keys(rng, 3000, hi=500)
+    bv = _keys(rng, 3000)
+    pk = _keys(rng, 10_000, hi=800)
+    pv = np.arange(10_000, dtype=np.uint32)
+    wk, wpv, wbv = golden.hash_join_multi(bk, bv, pk, pv)
+    count, jk, jpv, jbv = ops.hash_join_multi(
+        jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk), jnp.asarray(pv),
+        max_out=1 << 16, engine=engine)
+    c = int(count)
+    assert c == wk.size
+    check_arrays(np.asarray(jk)[:c], wk, "m2m join keys")
+    check_arrays(np.asarray(jpv)[:c], wpv, "m2m join probe vals")
+    check_arrays(np.asarray(jbv)[:c], wbv, "m2m join build vals")
+
+
+def test_hash_join_multi_truncates_to_prefix(rng):
+    bk = np.zeros(64, dtype=np.uint32)   # one key, 64 dups
+    bv = np.arange(64, dtype=np.uint32)
+    pk = np.zeros(32, dtype=np.uint32)
+    pv = np.arange(32, dtype=np.uint32)
+    wk, wpv, wbv = golden.hash_join_multi(bk, bv, pk, pv)  # 2048 rows
+    count, jk, jpv, jbv = ops.hash_join_multi(
+        jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk), jnp.asarray(pv),
+        max_out=256)
+    assert int(count) == 2048          # untruncated total for detection
+    check_arrays(np.asarray(jk), wk[:256], "truncated keys")
+    check_arrays(np.asarray(jpv), wpv[:256], "truncated probe vals")
+    check_arrays(np.asarray(jbv), wbv[:256], "truncated build vals")
+
+
+def test_hash_join_multi_no_matches(rng):
+    bk = np.arange(100, dtype=np.uint32)
+    pk = np.arange(200, 300, dtype=np.uint32)
+    count, *_ = ops.hash_join_multi(jnp.asarray(bk), jnp.asarray(bk),
+                                    jnp.asarray(pk), jnp.asarray(pk),
+                                    max_out=128)
+    assert int(count) == 0
