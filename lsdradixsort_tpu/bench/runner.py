@@ -373,6 +373,30 @@ def suite_query(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
         out.append(_bench("query/hash_join_merge", {"build": nb, "probe": n},
                           jfn_m, (bkeys, bvals, pkeys, vals), n,
                           bytes_moved=8 * (n + nb) + 24 * n, verify=jver_m))
+    # many-to-many join: ~4 build rows per key, output bound 2x probe count
+    from lsdradixsort_tpu.ops import hash_join_multi
+    bkeys_m = datagen.random_keys_bounded(nb, 0, max(nb // 4, 1), seed=5)
+    max_out = 2 * n
+    jmfn = jax.jit(lambda b, bv, p, pv: hash_join_multi(
+        b, bv, p, pv, max_out=max_out))
+    jmver = None
+    if verify:
+        bkm_np = np.asarray(bkeys_m)
+        bv_np2 = np.asarray(bvals)
+        pk_np2, pv_np2 = np.asarray(pkeys), np.asarray(vals)
+        def jmver():
+            cnt, jk, jpv, jbv = jmfn(bkeys_m, bvals, pkeys, vals)
+            wk, wpv, wbv = golden.hash_join_multi(bkm_np, bv_np2, pk_np2,
+                                                  pv_np2)
+            assert int(cnt) == wk.size
+            m = min(wk.size, max_out)
+            check_arrays(jk[:m], wk[:m])
+            check_arrays(jpv[:m], wpv[:m])
+            check_arrays(jbv[:m], wbv[:m])
+    out.append(_bench("query/hash_join_multi", {"build": nb, "probe": n,
+                                                "max_out": max_out},
+                      jmfn, (bkeys_m, bvals, pkeys, vals), n,
+                      bytes_moved=8 * (n + nb) + 24 * max_out, verify=jmver))
     return out
 
 
