@@ -208,21 +208,24 @@ def suite_histogram(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
     keys = datagen.random_keys(n)
     rs = (1, 2, 4, 8) if sweep else (4, 8)
     blocks = (1 << 13, 1 << 15, 1 << 17) if sweep else (1 << 15,)
+    cbs = (8, 4) if sweep else (8,)
     out = []
     for r in rs:
         for block in blocks:
             if n % block:
                 continue
-            fn = jax.jit(lambda k, r=r, b=block: block_digit_histograms(
-                k, r, 0, b))
-            ver = None
-            if verify:
-                keys_np = np.asarray(keys)
-                ver = lambda r=r, b=block, f=fn: check_arrays(
-                    f(keys), golden.digit_histograms(keys_np, r, 0, b))
-            out.append(_bench(
-                "histogram", {"n": n, "r": r, "block": block}, fn, (keys,),
-                n, bytes_moved=4 * n, verify=ver))
+            for cb in cbs:
+                fn = jax.jit(lambda k, r=r, b=block, cb=cb:
+                             block_digit_histograms(k, r, 0, b,
+                                                    counter_bits=cb))
+                ver = None
+                if verify:
+                    keys_np = np.asarray(keys)
+                    ver = lambda r=r, b=block, f=fn: check_arrays(
+                        f(keys), golden.digit_histograms(keys_np, r, 0, b))
+                out.append(_bench(
+                    "histogram", {"n": n, "r": r, "block": block, "cb": cb},
+                    fn, (keys,), n, bytes_moved=4 * n, verify=ver))
     return out
 
 

@@ -39,70 +39,93 @@ def _interpret_default() -> bool:
 
 
 def _hist_kernel(keys_ref, out_ref, *, r: int, group: int, rows: int,
-                 bpg: int):
+                 bpg: int, counter_bits: int):
     """Histogram `bpg` blocks per grid step (amortizes the ~2.5 us/step
-    pipeline overhead that dominates single-block launches)."""
+    pipeline overhead that dominates single-block launches).
+
+    counter_bits picks the packing: 8 (4 byte-counters/u32, chunks of 112
+    rows) or 4 (8 nibble-counters/u32, chunks of 8 rows — HALF the
+    accumulator planes, so ~half the dominant one-hot compare/select/add
+    cost at r=8; the sign bit is harmless because unpack masks after the
+    arithmetic shift). The one-hot loop is Theta(bins/slots) per element
+    either way — ROADMAP.md SS5.
+    """
     bins = 1 << r
-    naccs = (bins + 3) // 4
+    cb = counter_bits
+    slots = 32 // cb
+    naccs = (bins + slots - 1) // slots
+    # chunk rows: any single counter sees <= chunk elements per lane, and
+    # must fit counter_bits; keep chunks sublane-aligned (multiples of 8)
+    chunk_rows = _MAX_CHUNK_ROWS if cb == 8 else 8
     shift = jnp.uint32(r * group)
     mask = jnp.uint32(bins - 1)
-    n_chunks = (rows + _MAX_CHUNK_ROWS - 1) // _MAX_CHUNK_ROWS
+    n_chunks = (rows + chunk_rows - 1) // chunk_rows
     # everything below is pure broadcasting — Mosaic supports neither
     # concatenate of small vectors nor dynamic_update_slice in kernels
     acc_iota = jax.lax.broadcasted_iota(jnp.int32, (naccs, 1, 1), 0)
-    byte_shift = 8 * jax.lax.broadcasted_iota(jnp.int32, (1, 4, 1), 1)
+    slot_shift = cb * jax.lax.broadcasted_iota(jnp.int32, (1, slots, 1), 1)
+    slot_mask = jnp.int32((1 << cb) - 1)
+    sbits = cb.bit_length() - 1          # log2(counter_bits)
     for b in range(bpg):
         keys = keys_ref[b]  # (rows, LANES)
         digits = jnp.bitwise_and(jnp.right_shift(keys, shift),
                                  mask).astype(jnp.int32)
-        # packed one-hot increment: byte slot (d & 3), accumulator (d >> 2)
+        # packed one-hot increment: slot (d % slots), accumulator (d // slots)
         inc = jnp.left_shift(jnp.int32(1),
-                             jnp.left_shift(jnp.bitwise_and(digits, 3), 3))
-        acc_id = jnp.right_shift(digits, 2)
-        lane_tot = jnp.zeros((naccs, 4, LANES), jnp.int32)
+                             jnp.left_shift(jnp.bitwise_and(digits, slots - 1),
+                                            sbits))
+        acc_id = jnp.right_shift(digits, 5 - sbits)
+        lane_tot = jnp.zeros((naccs, slots, LANES), jnp.int32)
         for c in range(n_chunks):
-            lo = c * _MAX_CHUNK_ROWS
-            hi = min(lo + _MAX_CHUNK_ROWS, rows)
+            lo = c * chunk_rows
+            hi = min(lo + chunk_rows, rows)
             # slice in 2-D before broadcasting: Mosaic mislowers sublane
             # slices of 3-D broadcasts to shape-mismatched gathers
             aid_c, inc_c = acc_id[lo:hi], inc[lo:hi]
             # (naccs, chunk_rows, LANES): each element contributes its packed
-            # one-hot byte to exactly one accumulator plane
+            # one-hot counter to exactly one accumulator plane
             contrib = jnp.where(aid_c[None] == acc_iota, inc_c[None],
                                 jnp.int32(0))
             packed = jnp.sum(contrib, axis=1)                  # (naccs, LANES)
             lane_tot = lane_tot + jnp.bitwise_and(
-                jnp.right_shift(packed[:, None, :], byte_shift), 0xFF)
-        # (naccs, 4): row-major flatten (done outside the kernel — in-kernel
-        # sublane->lane relayouts lower poorly) is exactly bin order 4*a + j
+                jnp.right_shift(packed[:, None, :], slot_shift), slot_mask)
+        # (naccs, slots): row-major flatten (done outside the kernel — in-
+        # kernel sublane->lane relayouts lower poorly) is bin order
+        # slots*a + j
         out_ref[b] = jnp.sum(lane_tot, axis=2).astype(jnp.uint32)
 
 
-@functools.partial(jax.jit, static_argnames=("r", "group", "block_size", "interpret"))
+@functools.partial(jax.jit, static_argnames=("r", "group", "block_size",
+                                             "counter_bits", "interpret"))
 def block_digit_histograms(keys: jax.Array, r: int, group: int,
-                           block_size: int, interpret: bool | None = None
-                           ) -> jax.Array:
+                           block_size: int, counter_bits: int = 8,
+                           interpret: bool | None = None) -> jax.Array:
     """Per-block digit histograms: (num_blocks, 2**r) uint32.
 
     Block i's row counts r-bit digit `group` occurrences among
     keys[i*block_size:(i+1)*block_size] — the exact contract of
     BuildHistogramsKernel (LSDRadixSort.cu:660-702). Requires
     len(keys) % block_size == 0 and block_size % 128 == 0.
+    counter_bits: 8 (byte-packed) or 4 (nibble-packed — half the one-hot
+    planes, ~2x fewer VPU ops at r=8; see _hist_kernel).
     """
     n = keys.shape[0]
     if n % block_size or block_size % LANES:
         raise ValueError(
             f"n={n} must be divisible by block_size={block_size}, "
             f"block_size by {LANES}")
+    if counter_bits not in (4, 8):
+        raise ValueError(f"counter_bits must be 4 or 8, got {counter_bits}")
     bins = 1 << r
     rows = block_size // LANES
     num_blocks = n // block_size
     if interpret is None:
         interpret = _interpret_default()
-    # 3-D layout: block dims (1, rows, LANES) / (1, naccs, 4) always satisfy
-    # the TPU constraint that a block's last two dims be (8,128)-divisible
-    # or equal to the array dims.
-    naccs = (bins + 3) // 4
+    # 3-D layout: block dims (1, rows, LANES) / (1, naccs, slots) always
+    # satisfy the TPU constraint that a block's last two dims be
+    # (8,128)-divisible or equal to the array dims.
+    slots = 32 // counter_bits
+    naccs = (bins + slots - 1) // slots
     # blocks per grid step: target >= 1 MB of keys per step to amortize the
     # per-step pipeline overhead; must divide num_blocks
     bpg = max(1, (1 << 20) // (block_size * 4))
@@ -110,16 +133,18 @@ def block_digit_histograms(keys: jax.Array, r: int, group: int,
         bpg -= 1
     grid = (num_blocks // bpg,)
     out = pl.pallas_call(
-        functools.partial(_hist_kernel, r=r, group=group, rows=rows, bpg=bpg),
+        functools.partial(_hist_kernel, r=r, group=group, rows=rows, bpg=bpg,
+                          counter_bits=counter_bits),
         grid=grid,
         in_specs=[pl.BlockSpec((bpg, rows, LANES), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((bpg, naccs, 4), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((bpg, naccs, slots), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((num_blocks, naccs, 4), jnp.uint32),
+        out_shape=jax.ShapeDtypeStruct((num_blocks, naccs, slots),
+                                       jnp.uint32),
         interpret=interpret,
     )(keys.reshape(num_blocks, rows, LANES))
-    return out.reshape(num_blocks, naccs * 4)[:, :bins]
+    return out.reshape(num_blocks, naccs * slots)[:, :bins]
 
 
 @functools.partial(jax.jit, static_argnames=("r", "group", "interpret"))

@@ -21,11 +21,22 @@ def _keys(rng, n):
 
 @pytest.mark.parametrize("r,group", [(1, 0), (2, 5), (4, 3), (8, 0), (8, 3)])
 @pytest.mark.parametrize("block", [128, 1024])
-def test_block_histograms_vs_golden(rng, r, group, block):
+@pytest.mark.parametrize("cb", [8, 4])
+def test_block_histograms_vs_golden(rng, r, group, block, cb):
     keys = _keys(rng, 4 * block)
-    got = block_digit_histograms(jnp.asarray(keys), r, group, block)
+    got = block_digit_histograms(jnp.asarray(keys), r, group, block,
+                                 counter_bits=cb)
     want = golden.digit_histograms(keys, r, group, block)
-    check_arrays(got, want, f"hist r={r} g={group} b={block}")
+    check_arrays(got, want, f"hist r={r} g={group} b={block} cb={cb}")
+
+
+def test_block_histogram_nibble_overflow_guard(rng):
+    # all-equal digits: a nibble counter would overflow past 8 rows
+    # without per-8-row chunking
+    keys = np.zeros(512 * 128, dtype=np.uint32)
+    got = block_digit_histograms(jnp.asarray(keys), 8, 0, 512 * 128,
+                                 counter_bits=4)
+    assert int(got[0, 0]) == 512 * 128
 
 
 def test_block_histogram_byte_overflow_guard(rng):
