@@ -82,11 +82,14 @@ def hash_join(build_keys: jax.Array, build_vals: jax.Array,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_out", "engine", "tile_log2"))
+                   static_argnames=("max_out", "engine", "tile_log2",
+                                    "return_build_idx"))
 def hash_join_multi(build_keys: jax.Array, build_vals: jax.Array,
-                    probe_keys: jax.Array, probe_vals: jax.Array,
+                    probe_keys: jax.Array, probe_vals,
                     max_out: int, engine: str = "xla",
-                    tile_log2: int = 15):
+                    tile_log2: int = 15,
+                    probe_valid: jax.Array | None = None,
+                    return_build_idx: bool = False):
     """Inner equi-join with DUPLICATE build keys allowed (many-to-many).
 
     Lifts hash_join's primary-key restriction: every probe row matches ALL
@@ -99,12 +102,21 @@ def hash_join_multi(build_keys: jax.Array, build_vals: jax.Array,
     can detect overflow and re-run with a larger bound — the TPU-native
     spelling of a data-dependent output size under static shapes).
 
+    probe_vals may be a tuple of uint32 streams (all returned, same
+    positions); probe_valid masks probe rows out entirely (used by the
+    distributed fragment join for padded exchanges); return_build_idx
+    appends the index into the stable-sorted build side for each output
+    row — callers can gather any extra build column, or derive a global
+    build rank.
+
     Same sort-based design as hash_join, plus run geometry: the sorted
     build side is described per run by (start, length); probes pick their
     run up via the fill-forward broadcast, and a rank-decode expansion
     (exclusive scan of per-probe lengths + searchsorted) materializes the
     cross-product rows without any scatter.
     """
+    single = not isinstance(probe_vals, (tuple, list))
+    pvals = (probe_vals,) if single else tuple(probe_vals)
     nb, np_ = build_keys.shape[0], probe_keys.shape[0]
 
     # sorted build side, stable (original position tiebreak)
@@ -122,21 +134,27 @@ def hash_join_multi(build_keys: jax.Array, build_vals: jax.Array,
     run_len = bpos - run_start + jnp.uint32(1)
 
     # combined (key, tag|pos) sort — build rows first per key. Build and
-    # probe rows are disjoint, so the two value streams are dual-use:
-    # stream1 = run_start (build) / probe_val (probe), stream2 = run_len
-    # (build) / dead (probe).
+    # probe rows are disjoint, so the first two value streams are dual-use:
+    # stream1 = run_start (build) / probe_val[0] (probe), stream2 = run_len
+    # (build) / validity (probe). Extra probe streams ride with zeros on
+    # build rows.
+    zeros_b = jnp.zeros((nb,), jnp.uint32)
+    valid = (jnp.ones((np_,), jnp.uint32) if probe_valid is None
+             else probe_valid.astype(jnp.uint32))
     keys = jnp.concatenate([sbk, probe_keys])
     packed = jnp.concatenate([
         bpos, jnp.arange(np_, dtype=jnp.uint32) | jnp.uint32(0x80000000)])
-    stream1 = jnp.concatenate([run_start, probe_vals])
-    stream2 = jnp.concatenate([run_len, jnp.zeros((np_,), jnp.uint32)])
+    stream1 = jnp.concatenate([run_start, pvals[0]])
+    stream2 = jnp.concatenate([run_len, valid])
+    extras = [jnp.concatenate([zeros_b, pv]) for pv in pvals[1:]]
     if engine == "merge":
         from lsdradixsort_tpu.ops.sort import merge_sort_multi
-        sk, (spacked, s1, s2) = merge_sort_multi(
-            keys, [packed, stream1, stream2], tile_log2=tile_log2)
+        sk, (spacked, s1, s2, *sex) = merge_sort_multi(
+            keys, [packed, stream1, stream2] + extras, tile_log2=tile_log2)
     else:
-        sk, spacked, s1, s2 = jax.lax.sort(
-            (keys, packed, stream1, stream2), num_keys=2, is_stable=False)
+        sk, spacked, s1, s2, *sex = jax.lax.sort(
+            (keys, packed, stream1, stream2, *extras), num_keys=2,
+            is_stable=False)
     is_build = spacked < jnp.uint32(0x80000000)
 
     # each probe row learns its key's build-run (start, len); the last
@@ -145,14 +163,17 @@ def hash_join_multi(build_keys: jax.Array, build_vals: jax.Array,
     bk_fill, f_start, has_build = fill_forward_last(is_build, sk, s1)
     _, f_len, _ = fill_forward_last(is_build, sk, s2)
     matched = ~is_build & (has_build == 1) & (bk_fill == sk)
+    if probe_valid is not None:
+        matched = matched & (s2 == 1)     # s2 carries validity on probes
     lens = jnp.where(matched, f_len, jnp.uint32(0))
 
     # compact hit probes to the front in probe order; misses (and build
     # rows) carry len 0 and sort past them
     order_key = jnp.where(matched, spacked & jnp.uint32(0x7FFFFFFF),
                           jnp.uint32(0xFFFFFFFF))
-    _, cpk, cpv, cstart, clen = jax.lax.sort(
-        (order_key, sk, s1, f_start, lens), num_keys=1, is_stable=False)
+    _, cpk, cpv, cstart, clen, *cex = jax.lax.sort(
+        (order_key, sk, s1, f_start, lens, *sex), num_keys=1,
+        is_stable=False)
     count = jnp.sum(clen, dtype=jnp.uint32)
 
     # rank-decode expansion: output row j belongs to the hit probe r with
@@ -164,4 +185,6 @@ def hash_join_multi(build_keys: jax.Array, build_vals: jax.Array,
     r = jnp.maximum(r, jnp.uint32(1)) - jnp.uint32(1)
     d = j - offs[r]
     bidx = jnp.minimum(cstart[r] + d, jnp.uint32(max(nb - 1, 0)))
-    return count, cpk[r], cpv[r], sbv[bidx]
+    out_pv = cpv[r] if single else tuple(c[r] for c in (cpv, *cex))
+    out = (count, cpk[r], out_pv, sbv[bidx])
+    return out + (bidx,) if return_build_idx else out

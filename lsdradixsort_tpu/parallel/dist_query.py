@@ -279,3 +279,94 @@ def dist_filter_kv(keys: jax.Array, values: jax.Array, lo, hi, mesh: Mesh,
 
     return shard_map(shard_fn, mesh=mesh, in_specs=(P(axis), P(axis)),
                      out_specs=(P(axis), P(axis), P(axis)))(keys, values)
+
+
+def _dist_join_multi_shard(sbk, sbv, pk, pv, axis, d, max_out):
+    """Fragment join on one shard: local sorted build fragment x every
+    probe whose key falls in this fragment's key range.
+
+    Output balance under skew is structural: build rows are spread exactly
+    evenly by the distributed sort, so a heavy key's B x P cross-product
+    materializes as P x (B/D) rows per shard — the all-equal-keys input
+    (maximum skew) is perfectly balanced, the same guarantee the
+    distributed sort gives.
+    """
+    import jax
+    from lsdradixsort_tpu.ops.join import hash_join_multi
+    from lsdradixsort_tpu.parallel.dist_sort import _exchange
+
+    npl = pk.shape[0]
+    nbl = sbk.shape[0]
+    me = jax.lax.axis_index(axis)
+
+    # every shard's build key range, in mesh (= global sorted) order
+    los = jax.lax.all_gather(sbk[0], axis)             # (D,)
+    his = jax.lax.all_gather(sbk[-1], axis)
+
+    # local probes sorted by key: each destination shard's probes form one
+    # contiguous slice [searchsorted(lo), searchsorted(hi)) — slices for
+    # adjacent shards may OVERLAP when a build run spans shards, which is
+    # exactly the replication the exchange must perform (reads, so
+    # overlapping input segments are legal)
+    gpos = (me.astype(jnp.uint32) * jnp.uint32(npl)
+            + jnp.arange(npl, dtype=jnp.uint32))
+    spk, sppos, spv = jax.lax.sort((pk, gpos, pv), num_keys=2,
+                                   is_stable=False)
+    starts = jnp.searchsorted(spk, los, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(spk, his, side="right").astype(jnp.int32)
+    send_sizes = ends - starts
+    out_len = npl * d                                   # worst case: all
+    rpk, rppos, rpv = _exchange((spk, sppos, spv), starts, send_sizes,
+                                axis, out_len)
+    sizes_matrix = jax.lax.all_gather(send_sizes, axis)  # (src D, dst D)
+    m = jnp.sum(sizes_matrix[:, me], dtype=jnp.int32)
+    valid = jnp.arange(out_len, dtype=jnp.int32) < m
+
+    count, jk, (jpv, jppos), jbv, bidx = hash_join_multi(
+        sbk, sbv, rpk, (rpv, rppos), max_out=max_out, probe_valid=valid,
+        return_build_idx=True)
+    # global stable build rank: fragment rows are globally sorted and
+    # exactly balanced, so rank = me * (nb/D) + local index
+    brank = me.astype(jnp.uint32) * jnp.uint32(nbl) + bidx
+    return (count.reshape(1), jk, jppos, jpv, jbv, brank)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "max_out", "axis"))
+def dist_join_multi(build_keys: jax.Array, build_vals: jax.Array,
+                    probe_keys: jax.Array, probe_vals: jax.Array,
+                    mesh: Mesh, max_out: int, axis: str = DATA_AXIS):
+    """Distributed many-to-many inner equi-join (duplicate build keys).
+
+    Fragment-join design: the build side is distributed-sorted (exactly
+    balanced under any skew), each shard owns one contiguous fragment of
+    the global build order, and every probe is routed — with replication —
+    to each shard whose fragment key range contains its key. Each shard
+    then joins its fragment against the received probes locally
+    (ops/join.hash_join_multi), producing a disjoint piece of every
+    probe's cross-product. Probes stay where they are unless shipped; no
+    scatter anywhere.
+
+    Returns (counts, keys, probe_pos, probe_vals, build_vals, build_rank)
+    ragged per shard: shard s's valid rows sit at [s*max_out, s*max_out +
+    counts[s]). (probe_pos, build_rank) is a unique global order — sorting
+    the undistributed rows by it reproduces the single-chip oracle order.
+    counts are untruncated totals per shard, so callers detect max_out
+    overflow per shard.
+
+    Memory: each shard's receive buffer is probe-count x 3 streams
+    (worst-case replication); tighten with a range-intersection pre-count
+    if that ever binds.
+    """
+    nb, npr = build_keys.shape[0], probe_keys.shape[0]
+    d = mesh.shape[axis]
+    if nb % d or npr % d:
+        raise ValueError("build/probe sizes must divide the mesh size")
+    from lsdradixsort_tpu.parallel.dist_sort import dist_sort_kv
+    sbk, sbv = dist_sort_kv(build_keys, build_vals, mesh, axis=axis)
+
+    fn = shard_map(
+        lambda bk, bv, pk, pv: _dist_join_multi_shard(bk, bv, pk, pv, axis,
+                                                      d, max_out),
+        mesh=mesh, in_specs=(P(axis),) * 4, out_specs=(P(axis),) * 6,
+        check_vma=False)
+    return fn(sbk, sbv, probe_keys, probe_vals)

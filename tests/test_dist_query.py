@@ -208,3 +208,92 @@ def test_config5_distributed_query_pipeline(mesh):
     got = dict(zip(cuk.tolist(), csums.tolist()))
     got.pop(0xFFFFFFFF, None)  # padding group
     assert got == dict(zip(wk.tolist(), ws.tolist()))
+
+
+# ---------------------------------------------------------------------------
+# many-to-many distributed join (fragment join)
+# ---------------------------------------------------------------------------
+
+def _check_join_multi(mesh, bk, bv, pk, pv, max_out=1 << 14):
+    from lsdradixsort_tpu.parallel.mesh import shard_1d
+    from lsdradixsort_tpu.parallel.dist_query import dist_join_multi
+    from lsdradixsort_tpu.golden.oracles import hash_join_multi as gold
+    counts, jk, jpos, jpv, jbv, jbr = dist_join_multi(
+        shard_1d(jnp.asarray(bk), mesh), shard_1d(jnp.asarray(bv), mesh),
+        shard_1d(jnp.asarray(pk), mesh), shard_1d(jnp.asarray(pv), mesh),
+        mesh=mesh, max_out=max_out)
+    total, ck, cpos, cpv, cbv, cbr = undistribute(counts, jk, jpos, jpv,
+                                                  jbv, jbr)
+    gk, gpv, gbv = gold(bk, bv, pk, pv)
+    assert total == gk.size
+    order = np.lexsort((cbr, cpos))
+    np.testing.assert_array_equal(ck[order], gk)
+    np.testing.assert_array_equal(cpv[order], gpv)
+    np.testing.assert_array_equal(cbv[order], gbv)
+    return np.asarray(counts)
+
+
+def test_dist_join_multi_random(mesh):
+    rng = np.random.default_rng(0)
+    nb, npr = 1 << 10, 1 << 12
+    _check_join_multi(
+        mesh,
+        rng.integers(0, 200, nb, dtype=np.uint32),
+        rng.integers(0, 1 << 32, nb, dtype=np.uint64).astype(np.uint32),
+        rng.integers(0, 300, npr, dtype=np.uint32),
+        rng.integers(0, 1 << 32, npr, dtype=np.uint64).astype(np.uint32))
+
+
+def test_dist_join_multi_all_equal_keys_balanced(mesh):
+    # maximum skew: ONE key on both sides. The fragment join must still
+    # produce the full B x P cross-product AND balance it exactly:
+    # every shard holds B/D build rows, so every shard emits P * B/D rows.
+    from lsdradixsort_tpu.parallel.mesh import DATA_AXIS
+    d = mesh.shape[DATA_AXIS]
+    nb, npr = 1 << 7, 1 << 7
+    bk = np.full(nb, 42, dtype=np.uint32)
+    bv = np.arange(nb, dtype=np.uint32)
+    pk = np.full(npr, 42, dtype=np.uint32)
+    pv = np.arange(npr, dtype=np.uint32) + 1000
+    counts = _check_join_multi(mesh, bk, bv, pk, pv, max_out=1 << 11)
+    assert counts.sum() == nb * npr
+    np.testing.assert_array_equal(counts, np.full(d, npr * nb // d))
+
+
+def test_dist_join_multi_no_matches(mesh):
+    nb, npr = 1 << 6, 1 << 7
+    bk = np.arange(nb, dtype=np.uint32)
+    pk = np.arange(1000, 1000 + npr, dtype=np.uint32)
+    counts = _check_join_multi(mesh, bk, bk, pk, pk, max_out=256)
+    assert counts.sum() == 0
+
+
+def test_dist_join_multi_runs_span_shards(mesh):
+    # few distinct keys with many duplicates: build runs straddle shard
+    # boundaries, so probes must be replicated to multiple shards
+    rng = np.random.default_rng(7)
+    nb, npr = 1 << 9, 1 << 10
+    _check_join_multi(
+        mesh,
+        rng.integers(0, 5, nb, dtype=np.uint64).astype(np.uint32),
+        rng.integers(0, 1 << 32, nb, dtype=np.uint64).astype(np.uint32),
+        rng.integers(0, 8, npr, dtype=np.uint64).astype(np.uint32),
+        rng.integers(0, 1 << 32, npr, dtype=np.uint64).astype(np.uint32),
+        max_out=1 << 17)
+
+
+def test_dist_join_multi_unique_matches_dist_join(mesh):
+    # unique build keys: many-to-many totals must equal the primary-key join
+    rng = np.random.default_rng(3)
+    nb, npr = 1 << 9, 1 << 11
+    bk = rng.permutation(np.arange(2 * nb, dtype=np.uint32))[:nb]
+    bv = rng.integers(0, 1 << 32, nb, dtype=np.uint64).astype(np.uint32)
+    pk = rng.integers(0, 2 * nb, npr, dtype=np.uint64).astype(np.uint32)
+    pv = rng.integers(0, 1 << 32, npr, dtype=np.uint64).astype(np.uint32)
+    counts = _check_join_multi(mesh, bk, bv, pk, pv)
+    from lsdradixsort_tpu.parallel.mesh import shard_1d
+    c2, *rest = dist_join(
+        shard_1d(jnp.asarray(bk), mesh), shard_1d(jnp.asarray(bv), mesh),
+        shard_1d(jnp.asarray(pk), mesh), shard_1d(jnp.asarray(pv), mesh),
+        mesh=mesh)
+    assert counts.sum() == np.asarray(c2).sum()
