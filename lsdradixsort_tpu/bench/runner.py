@@ -339,6 +339,24 @@ def suite_query(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
             check_arrays(sums[:wk.size], ws)
     out.append(_bench("query/filtered_group_by (config 3)", {"n": n}, qfn,
                       (keys, gk2, vals), n, bytes_moved=20 * n, verify=qver))
+    if sweep:
+        qfn_m = jax.jit(lambda k, g, v: filtered_group_by_sum(
+            k, g, v, jnp.uint32(1 << 18), jnp.uint32(1 << 19),
+            engine="merge"))
+        qver_m = None
+        if verify:
+            k_np = np.asarray(keys)
+            g_np, v_np = np.asarray(gk2), np.asarray(vals)
+            def qver_m():
+                cnt, uk, sums = qfn_m(keys, gk2, vals)
+                mask = (k_np >= (1 << 18)) & (k_np < (1 << 19))
+                wk, ws = golden.group_by_sum(g_np[mask], v_np[mask])
+                assert int(cnt) == wk.size
+                check_arrays(uk[:wk.size], wk)
+                check_arrays(sums[:wk.size], ws)
+        out.append(_bench("query/filtered_group_by_merge", {"n": n}, qfn_m,
+                          (keys, gk2, vals), n, bytes_moved=20 * n,
+                          verify=qver_m))
     nb = max(n // 10, 1)
     bkeys = jax.random.permutation(
         jax.random.PRNGKey(2), jnp.arange(nb, dtype=jnp.uint32))

@@ -106,9 +106,10 @@ def group_by_aggregate(group_keys: jax.Array, values: jax.Array,
     raise ValueError(f"unknown reduction {reduction!r}")
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("engine", "tile_log2"))
 def filtered_group_by_sum(keys: jax.Array, group_keys: jax.Array,
-                          values: jax.Array, lo, hi):
+                          values: jax.Array, lo, hi, engine: str = "xla",
+                          tile_log2: int = 15):
     """BASELINE config 3 as one fused plan: SELECT group, SUM(value) WHERE
     lo <= key < hi GROUP BY group.
 
@@ -116,22 +117,33 @@ def filtered_group_by_sum(keys: jax.Array, group_keys: jax.Array,
     a compacted intermediate: rejected rows get a sentinel group key that
     sorts last and is excluded from the group count. One sort total.
     Returns (num_groups, unique_group_keys_sorted, sums).
+
+    The kept/rejected tag rides packed with the row position
+    ((tag << 31) | pos, n <= 2^31): a unique tiebreak ordered consistently
+    with input position, which satisfies the merge engine's multi-payload
+    tie contract (a bare 0/1 tag does not — equal keys are chunk-assigned
+    by position there), so engine="merge" routes through the framework
+    sort.
     """
     lo = jnp.asarray(lo, keys.dtype)
     hi = jnp.asarray(hi, keys.dtype)
+    n = keys.shape[0]
     keep = (keys >= lo) & (keys < hi)
     # sentinel 0xFFFFFFFF may collide with a real group key; disambiguate
-    # with a secondary sort key (0 = kept, 1 = rejected)
+    # with the packed tag (kept rows of the colliding key sort first)
     gk = jnp.where(keep, group_keys, jnp.uint32(0xFFFFFFFF))
-    tag = jnp.where(keep, jnp.uint32(0), jnp.uint32(1))
-    # no merge-engine variant: the tag tiebreak orders equal keys
-    # differently from input position, violating merge_sort_multi's
-    # multi-payload contract (equal keys are chunk-assigned by position)
-    sk, stag, sv = jax.lax.sort((gk, tag, values), num_keys=2,
-                                is_stable=False)
-    kept = stag == 0
+    packed = jnp.where(keep, jnp.uint32(0), jnp.uint32(0x80000000)) \
+        | jnp.arange(n, dtype=jnp.uint32)
+    if engine == "merge":
+        from lsdradixsort_tpu.ops.sort import merge_sort_multi
+        sk, (spacked, sv) = merge_sort_multi(gk, [packed, values],
+                                             tile_log2=tile_log2)
+    else:
+        sk, spacked, sv = jax.lax.sort((gk, packed, values), num_keys=2,
+                                       is_stable=False)
+    kept = spacked < jnp.uint32(0x80000000)
     csum = jnp.cumsum(jnp.where(kept, sv, jnp.uint32(0)), dtype=sv.dtype)
-    is_last = jnp.concatenate([(sk[1:] != sk[:-1]) | (stag[1:] != stag[:-1]),
+    is_last = jnp.concatenate([(sk[1:] != sk[:-1]) | (kept[1:] != kept[:-1]),
                                jnp.ones((1,), bool)]) & kept
     count, uk, run_end_csum = compact(is_last, sk, csum)
     prev = jnp.concatenate([jnp.zeros((1,), sv.dtype), run_end_csum[:-1]])

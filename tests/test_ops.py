@@ -163,7 +163,8 @@ def test_sort_with_ranks_matches_stable_argsort():
     np.testing.assert_array_equal(np.asarray(sk), keys[want])
 
 
-def test_filtered_group_by_sum():
+@pytest.mark.parametrize("engine", ["xla", "merge"])
+def test_filtered_group_by_sum(engine):
     from lsdradixsort_tpu.ops.aggregate import filtered_group_by_sum
     rng = np.random.default_rng(21)
     n = 1 << 12
@@ -172,7 +173,8 @@ def test_filtered_group_by_sum():
     vals = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
     lo, hi = 200, 700
     cnt, uk, sums = filtered_group_by_sum(
-        jnp.asarray(keys), jnp.asarray(gk), jnp.asarray(vals), lo, hi)
+        jnp.asarray(keys), jnp.asarray(gk), jnp.asarray(vals), lo, hi,
+        engine=engine, tile_log2=10)
     mask = (keys >= lo) & (keys < hi)
     wk, ws = golden.group_by_sum(gk[mask], vals[mask])
     assert int(cnt) == wk.size
