@@ -30,12 +30,12 @@ run = TILE
 while run < N:
     buf = M.pass_buf_elems(run)
     tab, ok = M.merge_pass_tables(x, run, buf)
-    for pipe in (False, True):
+    for pipe in (False, True, "full"):
         t = time_fn(lambda a, tb: M.merge_pass(a, tb, run_len=run,
                                                buf_elems=buf, ce=CE,
                                                pipeline=pipe),
                     x, tab, iters=4, warmup=1)
-        print(f"keys run=2^{run.bit_length()-1:2d} pipe={int(pipe)} "
+        print(f"keys run=2^{run.bit_length()-1:2d} pipe={pipe!s:5} "
               f"kernel {t.ms:7.1f} ms  {N/t.ms/1e6:6.1f} Melem/s "
               f"ok={bool(ok)}", flush=True)
     x = M.merge_pass(x, tab, run_len=run, buf_elems=buf, ce=CE)
@@ -47,12 +47,12 @@ run = TILE
 while run < N:
     buf = M.pass_buf_elems(run)
     tab, ok = M.merge_pass_tables(xk, run, buf)
-    for pipe in (False, True):
+    for pipe in (False, True, "full"):
         t = time_fn(lambda a, b, tb: M.merge_pass_kv(
                         a, b, tb, run_len=run, buf_elems=buf, ce=CE,
                         pipeline=pipe),
                     xk, xv, tab, iters=4, warmup=1)
-        print(f"kv   run=2^{run.bit_length()-1:2d} pipe={int(pipe)} "
+        print(f"kv   run=2^{run.bit_length()-1:2d} pipe={pipe!s:5} "
               f"kernel {t.ms:7.1f} ms  {N/t.ms/1e6:6.1f} Melem/s "
               f"ok={bool(ok)}", flush=True)
     xk, xv = M.merge_pass_kv(xk, xv, tab, run_len=run, buf_elems=buf, ce=CE)

@@ -445,7 +445,8 @@ def _merge_kernel_multi(tab_ref, *refs, bufrows: int, blk_rows: int,
 
 
 def _merge_kernel_multi_pipe(tabc_ref, tabn_ref, *refs, bufrows: int,
-                             blk_rows: int, in_rows: int, ce: str, ns: int):
+                             blk_rows: int, in_rows: int, ce: str, ns: int,
+                             emit_overlap: bool = False):
     """Pipelined variant: chunk i+1's window DMAs land in a STAGING buffer
     set while chunk i's merge cascade runs on the COMPUTE set, hiding the
     window-load transfer time (~10-20% of the serial pass) behind compute.
@@ -458,13 +459,27 @@ def _merge_kernel_multi_pipe(tabc_ref, tabn_ref, *refs, bufrows: int,
     the compute set. Loads use sems[0:pool], emits sems[pool:2*pool], so
     in-flight next-chunk loads never share a semaphore with emit waits.
 
-    refs layout: in_hbms[ns], out_hbms[ns], comp[ns], stage[ns],
+    emit_overlap additionally defers the emit waits one chunk: results are
+    copied to a third buffer set and their DMAs fly while chunk i+1's
+    cascade runs (chunk i-1's emit pool is drained before the buffers are
+    reused; the final grid step drains its own). refs layout gains a
+    leading tabp_ref (chunk i-1's table row, for re-deriving the deferred
+    wait descriptors) and an eb[ns] buffer set after stage.
+
+    refs layout: [tabp_ref if emit_overlap], in_hbms[ns], out_hbms[ns],
+    comp[ns], stage[ns], [eb[ns] if emit_overlap],
     sems (pool of 2*ns*DEPTH)."""
+    if emit_overlap:
+        tabp_ref, refs = refs[0], refs[1:]
     in_hbms = refs[:ns]
     out_hbms = refs[ns:2 * ns]
     comp = list(refs[2 * ns:3 * ns])
     stage = list(refs[3 * ns:4 * ns])
-    sems = refs[4 * ns]
+    if emit_overlap:
+        eb = list(refs[4 * ns:5 * ns])
+        sems = refs[5 * ns]
+    else:
+        sems = refs[4 * ns]
     i = pl.program_id(0)
     trow = i % 8
     ntrow = (i + 1) % 8
@@ -494,8 +509,25 @@ def _merge_kernel_multi_pipe(tabc_ref, tabn_ref, *refs, bufrows: int,
                         bufrows=bufrows, blk_rows=blk_rows, ce=ce)
     for cb, x in zip(comp, xs):
         cb[...] = x
-    _emit_rows(tabc_ref, trow, comp, out_hbms, sems, pool, ebits=ebits,
-               action="both")
+    if not emit_overlap:
+        _emit_rows(tabc_ref, trow, comp, out_hbms, sems, pool, ebits=ebits,
+                   action="both")
+    else:
+        ptrow = (i + 7) % 8          # chunk i-1's table row
+
+        @pl.when(i > 0)
+        def _():
+            _emit_rows(tabp_ref, ptrow, eb, out_hbms, sems, pool,
+                       ebits=ebits, action="wait")
+        for e, cb in zip(eb, comp):
+            e[...] = cb[...]
+        _emit_rows(tabc_ref, trow, eb, out_hbms, sems, pool, ebits=ebits,
+                   action="start")
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            _emit_rows(tabc_ref, trow, eb, out_hbms, sems, pool,
+                       ebits=ebits, action="wait")
 
 
 @functools.partial(jax.jit,
@@ -513,7 +545,9 @@ def merge_pass_multi(keys: jax.Array, vals, tables: jax.Array,
 
     pipeline=True double-buffers the window loads (next chunk's DMAs land
     behind the current chunk's merge cascade) at the cost of ns extra VMEM
-    buffers; pipeline=False is the serial single-buffer kernel.
+    buffers; pipeline="full" additionally defers the emit waits one chunk
+    (triple buffer: loads AND stores overlap compute); pipeline=False is
+    the serial single-buffer kernel.
 
     Contract (multi-payload): the pass orders rows by (key, val0) but
     assigns equal keys to output chunks by their input position, so with
@@ -531,13 +565,21 @@ def merge_pass_multi(keys: jax.Array, vals, tables: jax.Array,
     tab_spec = pl.BlockSpec((8, NCOLS), lambda i: (i // 8, 0),
                             memory_space=pltpu.SMEM)
     if pipeline:
+        full = pipeline == "full"
         kern = functools.partial(_merge_kernel_multi_pipe, bufrows=bufrows,
                                  blk_rows=blk // LANES, in_rows=n // LANES,
-                                 ce=ce, ns=ns)
+                                 ce=ce, ns=ns, emit_overlap=full)
         tabn_spec = pl.BlockSpec((8, NCOLS), lambda i: ((i + 1) // 8, 0),
                                  memory_space=pltpu.SMEM)
         tab_specs, tabs = [tab_spec, tabn_spec], (tables, tables)
         nbuf, sem_pool = 2 * ns, 2 * ns * DEPTH
+        if full:
+            tabp_spec = pl.BlockSpec(
+                (8, NCOLS), lambda i: ((jnp.maximum(i, 1) - 1) // 8, 0),
+                memory_space=pltpu.SMEM)
+            tab_specs.append(tabp_spec)
+            tabs = tabs + (tables,)
+            nbuf = 3 * ns
     else:
         kern = functools.partial(_merge_kernel_multi, bufrows=bufrows,
                                  blk_rows=blk // LANES, in_rows=n // LANES,

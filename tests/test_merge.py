@@ -22,7 +22,7 @@ def _msort(keys):
                            tile_log2=TILE_LOG, max_buf=MAXBUF, blk=BLK)
 
 
-@pytest.mark.parametrize("pipeline", [True, False])
+@pytest.mark.parametrize("pipeline", [True, False, "full"])
 def test_single_pass_tables_and_merge(rng, pipeline):
     # 8 sorted runs of 1024 -> one 8192 run, single chunk per group
     n, L = 1 << 13, 1 << 10
@@ -111,7 +111,7 @@ def test_multi_chunk_pass(rng):
     np.testing.assert_array_equal(np.asarray(out), np.sort(x))
 
 
-@pytest.mark.parametrize("pipeline", [True, False])
+@pytest.mark.parametrize("pipeline", [True, False, "full"])
 def test_multi_chunk_multi_stream_heavy_ties(rng, pipeline):
     # multi-chunk pass with riding streams: equal keys span chunk
     # boundaries; val0 (global position) satisfies the consistency
