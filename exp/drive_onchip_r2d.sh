@@ -11,6 +11,7 @@ cd /root/repo
   # 1. decision probes
   timeout 3000 python exp/probe_ce_reshape.py
   timeout 3600 python exp/probe_merge_pipeline.py roll
+  timeout 1800 python exp/probe_hash_table.py
   # 2. per-kernel suites with verify (histogram sweep carries the cb A/B)
   timeout 3000 python -m lsdradixsort_tpu.bench histogram --n 27 --verify --sweep --out reports/histogram_r2d
   timeout 2400 python -m lsdradixsort_tpu.bench sort --n 27 --verify --out reports/sort_r2d
