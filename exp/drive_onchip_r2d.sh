@@ -19,5 +19,13 @@ cd /root/repo
   timeout 1800 python -m lsdradixsort_tpu.bench dist --n 22 --verify --out reports/dist_r2d
   # 3. flagship + kv
   timeout 1200 python bench.py --verify --kv
+  # 4. at-scale re-verify of the round-2c/2d changes (pad layout, DMA
+  #    pipelining): reference-scale keys sort + the 4 GB kv sort
+  timeout 3000 python exp/drive_merge30.py verify
+  timeout 1800 python exp/drive_merge30.py time
+  timeout 3000 python exp/drive_kv29.py verify
+  timeout 1800 python exp/drive_kv29.py time
+  # 5. remaining decision probe from ROADMAP s8
+  timeout 3000 python exp/probe_merge_phases.py
   echo "=== drive_onchip_r2d done rc=$? $(date)"
 } >> /tmp/onchip_r2d.log 2>&1

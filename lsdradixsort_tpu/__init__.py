@@ -22,7 +22,8 @@ from lsdradixsort_tpu.ops.sort import (sort, sort_kv, argsort,
                                        sort_with_ranks, sort_blocks_kv,
                                        merge_sort_keys, merge_sort_with_ranks,
                                        merge_sort_multi)
-from lsdradixsort_tpu.ops.filter import filter_keys, filter_kv, compact
+from lsdradixsort_tpu.ops.filter import (filter_keys, filter_kv,
+                                         filter_in_set, compact)
 from lsdradixsort_tpu.ops.aggregate import group_by_sum, group_by_aggregate
 from lsdradixsort_tpu.ops.join import hash_join, hash_join_multi
 from lsdradixsort_tpu.kernels.histogram import digit_histogram, block_digit_histograms
@@ -39,7 +40,7 @@ __all__ = [
     "merge_sort_keys", "merge_sort_with_ranks", "merge_sort_multi",
     "sort_tiles", "sort_tiles_kv", "sort_tiles_multi",
     "shuffle_row_runs", "fill_forward_last",
-    "filter_keys", "filter_kv", "compact",
+    "filter_keys", "filter_kv", "filter_in_set", "compact",
     "group_by_sum", "group_by_aggregate",
     "hash_join", "hash_join_multi",
     "digit_histogram", "block_digit_histograms",

@@ -418,6 +418,46 @@ def suite_query(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
                                                 "max_out": max_out},
                       jmfn, (bkeys_m, bvals, pkeys, vals), n,
                       bytes_moved=8 * (n + nb) + 24 * max_out, verify=jmver))
+
+    # small-build fast path: VMEM lane-bucketed hash table
+    # (kernels/hash_table.py) — dimension-table join + IN-list semi-join
+    from lsdradixsort_tpu.ops import filter_in_set
+    nbs = 1 << 10
+    bkeys_s = jax.random.permutation(
+        jax.random.PRNGKey(7), jnp.arange(1 << 12, dtype=jnp.uint32))[:nbs]
+    bvals_s = bkeys_s ^ jnp.uint32(0xABC)
+    pkeys_s = datagen.random_keys_bounded(n, 0, 1 << 12, seed=8)
+    jsfn = jax.jit(lambda b, bv, p, pv: hash_join(b, bv, p, pv,
+                                                  engine="vmem"))
+    jsver = None
+    if verify:
+        bks_np, bvs_np = np.asarray(bkeys_s), np.asarray(bvals_s)
+        pks_np, pvs_np = np.asarray(pkeys_s), np.asarray(vals)
+        def jsver():
+            cnt, jk, jpv, jbv = jsfn(bkeys_s, bvals_s, pkeys_s, vals)
+            wk, wpv, wbv = golden.hash_join(bks_np, bvs_np, pks_np, pvs_np)
+            assert int(cnt) == wk.size
+            check_arrays(jk[:wk.size], wk)
+            check_arrays(jpv[:wk.size], wpv)
+            check_arrays(jbv[:wk.size], wbv)
+    out.append(_bench("query/hash_join_vmem_small",
+                      {"build": nbs, "probe": n}, jsfn,
+                      (bkeys_s, bvals_s, pkeys_s, vals), n,
+                      bytes_moved=16 * n, verify=jsver))
+    sfn = jax.jit(filter_in_set)
+    sver = None
+    if verify:
+        pks_np2, v_np2 = np.asarray(pkeys_s), np.asarray(vals)
+        bks_np2 = np.asarray(bkeys_s)
+        def sver():
+            cnt, fk, fv = sfn(pkeys_s, bkeys_s, vals)
+            mask = np.isin(pks_np2, bks_np2)
+            assert int(cnt) == int(mask.sum())
+            check_arrays(fk[:int(cnt)], pks_np2[mask])
+            check_arrays(fv[:int(cnt)], v_np2[mask])
+    out.append(_bench("query/filter_in_set", {"set": nbs, "n": n}, sfn,
+                      (pkeys_s, bkeys_s, vals), n,
+                      bytes_moved=16 * n, verify=sver))
     return out
 
 

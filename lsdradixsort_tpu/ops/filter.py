@@ -74,3 +74,34 @@ def filter_kv(keys: jax.Array, values: jax.Array, lo, hi):
     hi = jnp.asarray(hi, keys.dtype)
     mask = (keys >= lo) & (keys < hi)
     return compact(mask, keys, values)
+
+
+@jax.jit
+def filter_in_set(keys: jax.Array, set_keys: jax.Array, *values):
+    """IN-list semi-join filter: keep rows whose key appears in `set_keys`
+    (unique membership keys, order-preserving). Returns (count, keys,
+    *values).
+
+    The membership test probes the lane-bucketed VMEM hash table
+    (kernels/hash_table.py, semi mode: one lane-gather per chain row per
+    probe block) — the small-build fast path the sort-merge join cannot
+    match for dimension-table-sized sets. If a hash chain overflows the
+    planned depth, a lax.cond falls back to a sorted-set searchsorted
+    membership test (XLA gather), so the result never depends on the hash.
+    """
+    from lsdradixsort_tpu.kernels.hash_table import (build_table, plan_rows,
+                                                     probe_table)
+    nset = set_keys.shape[0]
+    tk, tv, cnt, ok = build_table(set_keys, set_keys, plan_rows(nset))
+
+    def _fast(_):
+        m, _unused = probe_table(tk, tv, cnt, keys, semi=True)
+        return m == 1
+
+    def _slow(_):
+        ss = jnp.sort(set_keys)
+        idx = jnp.clip(jnp.searchsorted(ss, keys), 0, nset - 1)
+        return ss[idx] == keys
+
+    mask = jax.lax.cond(ok, _fast, _slow, operand=None)
+    return compact(mask, keys, *values)

@@ -37,8 +37,31 @@ def hash_join(build_keys: jax.Array, build_vals: jax.Array,
 
     engine="merge" runs the main (key, tag|pos) sort through the framework
     merge sort (ops/sort.merge_sort_multi — packed positions are a unique
-    tiebreak, so the result is bit-identical); "xla" uses jax.lax.sort."""
+    tiebreak, so the result is bit-identical); "xla" uses jax.lax.sort;
+    "vmem" uses the lane-bucketed VMEM hash table for SMALL build sides
+    (kernels/hash_table.py: probe cost grows with build size, so it only
+    wins below a few thousand build keys) and falls back to the sort-merge
+    path via lax.cond if any hash chain overflows — the result is
+    bit-identical either way."""
     nb, np_ = build_keys.shape[0], probe_keys.shape[0]
+    if engine == "vmem":
+        from lsdradixsort_tpu.kernels.hash_table import (build_table,
+                                                         plan_rows,
+                                                         probe_table)
+        from lsdradixsort_tpu.ops.filter import compact
+        tk, tv, cnt, ok = build_table(build_keys, build_vals,
+                                      plan_rows(nb))
+
+        def _fast(_):
+            m, bvo = probe_table(tk, tv, cnt, probe_keys)
+            return compact(m == 1, probe_keys, probe_vals, bvo)
+
+        def _slow(_):
+            return hash_join(build_keys, build_vals, probe_keys,
+                             probe_vals, engine="xla",
+                             tile_log2=tile_log2)
+
+        return jax.lax.cond(ok, _fast, _slow, operand=None)
     keys = jnp.concatenate([build_keys, probe_keys])
     # pack (tag, probe position) into one u32: bit 31 = tag (build 0,
     # probe 1), low bits = row position — build/probe ordering per key
