@@ -17,8 +17,12 @@ Strategies:
     the reference's pass structure (cu:845-906); an XLA-scatter-bound
     correctness scaffold.
 
-All sorts are ascending and stable (key-value variants preserve the input
-order of equal keys bit-exactly, verified against the golden model).
+All sorts are stable (key-value variants preserve the input order of
+equal keys bit-exactly, verified against the golden model). Keys may be
+uint32, int32, or float32 and the order ascending (default) or
+descending — non-u32 dtypes and descending order run through the
+order-preserving u32 codecs in core/keycodec.py, so every strategy and
+kernel sees only u32 codes.
 """
 from __future__ import annotations
 
@@ -27,6 +31,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from lsdradixsort_tpu.core import keycodec
 from lsdradixsort_tpu.core.digits import get_digit, num_digit_groups
 from lsdradixsort_tpu.kernels.histogram import block_digit_histograms
 from lsdradixsort_tpu.kernels.scan import exclusive_scan
@@ -34,22 +39,29 @@ from lsdradixsort_tpu.kernels.scan import exclusive_scan
 _STRATEGIES = ("merge", "xla", "composed")
 
 
-@functools.partial(jax.jit, static_argnames=("strategy", "r", "block_size"))
+@functools.partial(jax.jit, static_argnames=("strategy", "r", "block_size",
+                                             "descending"))
 def sort(keys: jax.Array, strategy: str = "merge", r: int = 8,
-         block_size: int = 1 << 13) -> jax.Array:
-    """Sort uint32 keys ascending (TestGPULSDRadixSort path, cu:912-1030).
+         block_size: int = 1 << 13, descending: bool = False) -> jax.Array:
+    """Sort u32/i32/f32 keys (TestGPULSDRadixSort path, cu:912-1030).
 
     The default "merge" strategy is the framework's own sort (VMEM tile
     sort + 8-way sample-split merge passes, kernels/merge.py) — faster
-    than jax.lax.sort on v5e for large keys-only inputs.
+    than jax.lax.sort on v5e for large keys-only inputs. Signed/float
+    keys and descending order run through the order-preserving u32 codecs
+    (core/keycodec.py; float NaN/-0.0 semantics documented there).
     """
+    code = keycodec.encode(keys, descending)
     if strategy == "merge":
-        return merge_sort_keys(keys)
-    if strategy == "xla":
-        return jax.lax.sort(keys)
-    if strategy == "composed":
-        return _composed_lsd_sort(keys, r=r, block_size=block_size)
-    raise ValueError(f"unknown strategy {strategy!r}; pick from {_STRATEGIES}")
+        out = merge_sort_keys(code)
+    elif strategy == "xla":
+        out = jax.lax.sort(code)
+    elif strategy == "composed":
+        out = _composed_lsd_sort(code, r=r, block_size=block_size)
+    else:
+        raise ValueError(
+            f"unknown strategy {strategy!r}; pick from {_STRATEGIES}")
+    return keycodec.decode(out, keys.dtype, descending)
 
 
 def merge_sort_keys(keys: jax.Array, tile_log2: int = 15,
@@ -213,33 +225,42 @@ def merge_sort_multi(keys: jax.Array, values, tile_log2: int = 15,
 
 
 @functools.partial(jax.jit, static_argnames=("strategy", "r", "block_size",
-                                             "tile_log2"))
+                                             "tile_log2", "descending"))
 def sort_kv(keys: jax.Array, values: jax.Array, strategy: str = "xla",
-            r: int = 8, block_size: int = 1 << 13, tile_log2: int = 15):
-    """Stable key-value sort (north-star extension; keys u32, any payload).
+            r: int = 8, block_size: int = 1 << 13, tile_log2: int = 15,
+            descending: bool = False):
+    """Stable key-value sort (north-star extension; keys u32/i32/f32, any
+    payload).
 
     strategy="merge" runs the framework engine: the row index rides as
     the (unique, position-consistent) tiebreak stream and every u32
     payload leaf rides uncompared — stable for arbitrary payloads.
     "xla" is jax.lax.sort with the injected-iota spelling; "composed" the
-    faithful LSD radix scaffold.
+    faithful LSD radix scaffold. Signed/float keys and descending order
+    run through the u32 codecs (core/keycodec.py); stability is
+    unaffected (tie groups are invariant under the bijection).
     """
+    code = keycodec.encode(keys, descending)
     if strategy == "merge":
         n = keys.shape[0]
         flat_vals, treedef = jax.tree.flatten(values)
         iota = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
-        sk, outs = merge_sort_multi(keys, [iota, *flat_vals],
+        sk, outs = merge_sort_multi(code, [iota, *flat_vals],
                                     tile_log2=tile_log2)
-        return sk, jax.tree.unflatten(treedef, outs[1:])
-    if strategy == "xla":
-        return _stable_sort_kv_xla(keys, values)
-    if strategy == "composed":
-        return _composed_lsd_sort_kv(keys, values, r=r, block_size=block_size)
-    raise ValueError(f"unknown strategy {strategy!r}; pick from {_STRATEGIES}")
+        sv = jax.tree.unflatten(treedef, outs[1:])
+    elif strategy == "xla":
+        sk, sv = _stable_sort_kv_xla(code, values)
+    elif strategy == "composed":
+        sk, sv = _composed_lsd_sort_kv(code, values, r=r,
+                                       block_size=block_size)
+    else:
+        raise ValueError(
+            f"unknown strategy {strategy!r}; pick from {_STRATEGIES}")
+    return keycodec.decode(sk, keys.dtype, descending), sv
 
 
-@jax.jit
-def sort_with_ranks(keys: jax.Array):
+@functools.partial(jax.jit, static_argnames=("descending",))
+def sort_with_ranks(keys: jax.Array, descending: bool = False):
     """Sort keys, returning (sorted_keys, original_positions).
 
     The columnar-engine primitive: sort one key column, use the returned
@@ -254,15 +275,16 @@ def sort_with_ranks(keys: jax.Array):
     secondary key makes redundant.
     """
     n = keys.shape[0]
+    code = keycodec.encode(keys, descending)
     iota = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
-    sk, perm = jax.lax.sort((keys, iota), num_keys=2, is_stable=False)
-    return sk, perm
+    sk, perm = jax.lax.sort((code, iota), num_keys=2, is_stable=False)
+    return keycodec.decode(sk, keys.dtype, descending), perm
 
 
-@jax.jit
-def argsort(keys: jax.Array) -> jax.Array:
-    """Stable ascending argsort of uint32 keys."""
-    _, perm = sort_with_ranks(keys)
+@functools.partial(jax.jit, static_argnames=("descending",))
+def argsort(keys: jax.Array, descending: bool = False) -> jax.Array:
+    """Stable argsort of u32/i32/f32 keys."""
+    _, perm = sort_with_ranks(keys, descending)
     return perm
 
 
