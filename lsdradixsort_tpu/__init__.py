@@ -19,7 +19,8 @@ Layer map (mirrors reference layering, SURVEY.md §1):
 
 from lsdradixsort_tpu.core import digits, datagen, timing, roofline
 from lsdradixsort_tpu.ops.sort import (sort, sort_kv, argsort,
-                                       sort_with_ranks, sort_blocks_kv,
+                                       sort_with_ranks, sort64_with_ranks,
+                                       sort_blocks_kv,
                                        merge_sort_keys, merge_sort_with_ranks,
                                        merge_sort_multi)
 from lsdradixsort_tpu.ops.filter import (filter_keys, filter_kv,
@@ -36,7 +37,8 @@ from lsdradixsort_tpu.kernels.fill_forward import fill_forward_last
 __version__ = "0.2.0"
 
 __all__ = [
-    "sort", "sort_kv", "argsort", "sort_with_ranks", "sort_blocks_kv",
+    "sort", "sort_kv", "argsort", "sort_with_ranks",
+    "sort64_with_ranks", "sort_blocks_kv",
     "merge_sort_keys", "merge_sort_with_ranks", "merge_sort_multi",
     "sort_tiles", "sort_tiles_kv", "sort_tiles_multi",
     "shuffle_row_runs", "fill_forward_last",

@@ -62,3 +62,56 @@ def decode(codes: jax.Array, dtype, descending: bool = False) -> jax.Array:
         b = code ^ jnp.where(code >> 31 != 0, SIGN, jnp.uint32(0xFFFFFFFF))
         return jax.lax.bitcast_convert_type(b, jnp.float32)
     raise TypeError(f"sortable key dtypes are u32/i32/f32, got {dtype}")
+
+
+# --- 64-bit keys as (hi, lo) u32 planes -----------------------------------
+#
+# JAX on TPU runs with x64 disabled, so 64-bit key columns are represented
+# the columnar way: two u32 planes (hi = bits 63..32, lo = bits 31..0).
+# The codecs below make lexicographic-(hi, lo) unsigned order equal the
+# source-dtype order; ops/sort.sort64_with_ranks then sorts in two stable
+# LSD passes (lo first, hi second) on the 32-bit engine.
+
+#: logical 64-bit key dtypes `encode64`/`decode64` accept
+SUPPORTED_KEY_DTYPES64 = ("uint64", "int64", "float64")
+
+
+def encode64(hi: jax.Array, lo: jax.Array, dtype: str = "uint64",
+             descending: bool = False):
+    """Map (hi, lo) u32 planes of a 64-bit key to u32 code planes whose
+    lexicographic (hi, lo) unsigned order equals the requested order.
+
+    int64: flip the sign bit of hi. float64: IEEE sign-magnitude flip of
+    the full 64 bits (negative -> NOT both planes; non-negative -> set
+    hi's sign bit) — total order, same NaN/-0.0 semantics as `encode`.
+    """
+    if dtype == "uint64":
+        chi, clo = hi, lo
+    elif dtype == "int64":
+        chi, clo = hi ^ SIGN, lo
+    elif dtype == "float64":
+        neg = hi >> 31 != 0
+        chi = hi ^ jnp.where(neg, jnp.uint32(0xFFFFFFFF), SIGN)
+        clo = lo ^ jnp.where(neg, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+    else:
+        raise TypeError(
+            f"64-bit key dtypes are {SUPPORTED_KEY_DTYPES64}, got {dtype}")
+    return (~chi, ~clo) if descending else (chi, clo)
+
+
+def decode64(chi: jax.Array, clo: jax.Array, dtype: str = "uint64",
+             descending: bool = False):
+    """Inverse of `encode64` (code planes -> original (hi, lo) planes)."""
+    if descending:
+        chi, clo = ~chi, ~clo
+    if dtype == "uint64":
+        return chi, clo
+    if dtype == "int64":
+        return chi ^ SIGN, clo
+    if dtype == "float64":
+        neg = chi >> 31 == 0  # encoded negatives have hi's sign bit clear
+        hi = chi ^ jnp.where(neg, jnp.uint32(0xFFFFFFFF), SIGN)
+        lo = clo ^ jnp.where(neg, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+        return hi, lo
+    raise TypeError(
+        f"64-bit key dtypes are {SUPPORTED_KEY_DTYPES64}, got {dtype}")

@@ -288,6 +288,48 @@ def argsort(keys: jax.Array, descending: bool = False) -> jax.Array:
     return perm
 
 
+@functools.partial(jax.jit, static_argnames=("dtype", "descending",
+                                             "strategy", "tile_log2"))
+def sort64_with_ranks(key_hi: jax.Array, key_lo: jax.Array,
+                      dtype: str = "uint64", descending: bool = False,
+                      strategy: str = "merge", tile_log2: int = 15):
+    """Stable sort by a 64-bit key column given as (hi, lo) u32 planes.
+
+    Returns (sorted_hi, sorted_lo, original_positions) — the columnar
+    64-bit analog of sort_with_ranks (x64 stays off on TPU; 64-bit
+    columns live as two u32 planes, core/keycodec.py). dtype is the
+    logical key type: "uint64", "int64", or "float64" (IEEE total order,
+    as the 32-bit codec).
+
+    The sort is the LSD composition the whole framework is named for,
+    lifted to 32-bit digits: a stable pass by the low plane, then a
+    stable pass by the high plane — exactly the reference's digit-group
+    loop (LSDRadixSort.cu:62-69) with r=32 and the framework's stable
+    merge engine as the per-digit sorter. Two passes of the measured
+    multi-stream rate; no new kernel surface.
+    """
+    chi, clo = keycodec.encode64(key_hi, key_lo, dtype, descending)
+    n = key_hi.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
+    # the sorted iota tiebreak of pass 1 IS the pass-1 permutation
+    if strategy == "merge":
+        lo_s, (perm1, hi_s) = merge_sort_multi(clo, [iota, chi],
+                                               tile_log2=tile_log2)
+        iota2 = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
+        hi_o, (_, lo_o, perm) = merge_sort_multi(
+            hi_s, [iota2, lo_s, perm1], tile_log2=tile_log2)
+    elif strategy == "xla":
+        lo_s, perm1, hi_s = jax.lax.sort((clo, iota, chi), num_keys=2,
+                                         is_stable=False)
+        iota2 = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
+        hi_o, _, lo_o, perm = jax.lax.sort(
+            (hi_s, iota2, lo_s, perm1), num_keys=2, is_stable=False)
+    else:
+        raise ValueError(f"strategy {strategy!r}: pick 'merge' or 'xla'")
+    hi_o, lo_o = keycodec.decode64(hi_o, lo_o, dtype, descending)
+    return hi_o, lo_o, perm
+
+
 @functools.partial(jax.jit, static_argnames=("block_size",))
 def sort_blocks_kv(keys: jax.Array, values: jax.Array,
                    block_size: int = 1 << 14):

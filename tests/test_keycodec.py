@@ -129,3 +129,55 @@ def test_argsort_and_ranks_f32(rng):
 def test_unsupported_dtype_raises():
     with pytest.raises(TypeError):
         sort(jnp.arange(8, dtype=jnp.uint16))
+
+
+# --- 64-bit keys (hi, lo u32 planes) ---------------------------------------
+
+def _planes(k64_bits: np.ndarray):
+    return ((k64_bits >> 32).astype(np.uint32),
+            (k64_bits & 0xFFFFFFFF).astype(np.uint32))
+
+
+@pytest.mark.parametrize("dtype", ["uint64", "int64", "float64"])
+@pytest.mark.parametrize("desc", [False, True])
+@pytest.mark.parametrize("strategy", ["merge", "xla"])
+def test_sort64_with_ranks(rng, dtype, desc, strategy):
+    from lsdradixsort_tpu.ops.sort import sort64_with_ranks
+    n = 1 << 12
+    if dtype == "uint64":
+        logical = rng.integers(0, 1 << 64, n, dtype=np.uint64)
+        # low-entropy hi plane: exercises ties across the second pass
+        logical[n // 2:] &= np.uint64(0xFFFFFFFF)
+        bits = logical
+    elif dtype == "int64":
+        logical = rng.integers(-(1 << 62), 1 << 62, n, dtype=np.int64)
+        logical[:4] = [np.iinfo(np.int64).min, -1, 0,
+                       np.iinfo(np.int64).max]
+        bits = logical.view(np.uint64)
+    else:
+        logical = (rng.standard_normal(n)
+                   * 10.0 ** rng.integers(-200, 200, n))
+        logical[:4] = [0.0, -0.0, np.inf, -np.inf]
+        logical = logical.astype(np.float64)
+        bits = logical.view(np.uint64)
+    hi, lo = _planes(bits)
+    kw = dict(tile_log2=9) if strategy == "merge" else {}
+    hi_s, lo_s, perm = sort64_with_ranks(
+        jnp.asarray(hi), jnp.asarray(lo), dtype=dtype, descending=desc,
+        strategy=strategy, **kw)
+    hi_s, lo_s, perm = map(np.asarray, (hi_s, lo_s, perm))
+    # golden: host mirror of the 64-bit codec, stable-argsorted — gives
+    # the exact expected permutation for every dtype (incl. the total
+    # order on -0.0/+0.0) and both directions
+    codes = bits.copy()
+    if dtype == "int64":
+        codes ^= np.uint64(1) << np.uint64(63)
+    elif dtype == "float64":
+        neg = bits >> np.uint64(63) != 0
+        codes = np.where(neg, ~bits, bits | (np.uint64(1) << np.uint64(63)))
+    if desc:
+        codes = ~codes
+    order = np.argsort(codes, kind="stable")
+    got_bits = hi_s.astype(np.uint64) << np.uint64(32) | lo_s
+    np.testing.assert_array_equal(got_bits, bits[order])
+    np.testing.assert_array_equal(perm, order.astype(np.uint32))
