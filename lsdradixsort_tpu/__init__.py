@@ -27,6 +27,7 @@ from lsdradixsort_tpu.ops.filter import (filter_keys, filter_kv,
                                          filter_in_set, compact)
 from lsdradixsort_tpu.ops.aggregate import group_by_sum, group_by_aggregate
 from lsdradixsort_tpu.ops.join import hash_join, hash_join_multi
+from lsdradixsort_tpu.ops.topk import top_k, unique
 from lsdradixsort_tpu.kernels.histogram import digit_histogram, block_digit_histograms
 from lsdradixsort_tpu.kernels.scan import exclusive_scan, block_prefix_sums
 from lsdradixsort_tpu.kernels.tile_sort import (sort_tiles, sort_tiles_kv,
@@ -44,7 +45,7 @@ __all__ = [
     "shuffle_row_runs", "fill_forward_last",
     "filter_keys", "filter_kv", "filter_in_set", "compact",
     "group_by_sum", "group_by_aggregate",
-    "hash_join", "hash_join_multi",
+    "hash_join", "hash_join_multi", "top_k", "unique",
     "digit_histogram", "block_digit_histograms",
     "exclusive_scan", "block_prefix_sums",
     "digits", "datagen", "timing", "roofline",

@@ -458,6 +458,39 @@ def suite_query(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
     out.append(_bench("query/filter_in_set", {"set": nbs, "n": n}, sfn,
                       (pkeys_s, bkeys_s, vals), n,
                       bytes_moved=16 * n, verify=sver))
+
+    # ORDER BY ... LIMIT k: histogram-guided top-k (ops/topk.py) — one
+    # histogram pass + one compaction pass + a static-B tail sort.
+    # Full-range keys so the 256-bin threshold actually selects (the
+    # bounded `keys` above all share one high byte = permanent fallback)
+    from lsdradixsort_tpu.ops.topk import top_k, unique
+    kk = 1 << 10
+    tkeys = datagen.random_keys(n, seed=9)
+    tfn = jax.jit(lambda x: top_k(x, kk, largest=True))
+    tver = None
+    if verify:
+        tkeys_np = np.asarray(tkeys)
+        def tver():
+            tv, ti = tfn(tkeys)
+            order = np.argsort(~tkeys_np, kind="stable")[:kk]
+            check_arrays(tv, tkeys_np[order])
+            check_arrays(ti, order.astype(np.uint32))
+    out.append(_bench("query/top_k", {"n": n, "k": kk}, tfn, (tkeys,), n,
+                      bytes_moved=8 * n, verify=tver))
+
+    # SELECT DISTINCT + counts
+    ufn = jax.jit(unique)
+    uver = None
+    if verify:
+        keys_np2 = np.asarray(keys)
+        def uver():
+            cnt, uk, cts = ufn(keys)
+            wk, wc = np.unique(keys_np2, return_counts=True)
+            assert int(cnt) == wk.size
+            check_arrays(uk[:wk.size], wk)
+            check_arrays(cts[:wk.size], wc.astype(np.uint32))
+    out.append(_bench("query/unique", {"n": n}, ufn, (keys,), n,
+                      bytes_moved=16 * n, verify=uver))
     return out
 
 

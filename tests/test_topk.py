@@ -1,0 +1,110 @@
+"""top_k / unique (ops/topk.py) vs goldens, including the skew fallback
+(fat threshold bin), the small-n full-sort path, non-128-multiple n, and
+the i32/f32 codec surface."""
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from lsdradixsort_tpu.core.keycodec import encode
+from lsdradixsort_tpu.ops.topk import top_k, unique
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(11)
+
+
+def _golden_topk(keys, k, largest):
+    codes = np.asarray(encode(jnp.asarray(keys), descending=largest))
+    order = np.argsort(codes, kind="stable")[:k]
+    return keys[order], order.astype(np.uint32)
+
+
+@pytest.mark.parametrize("largest", [True, False])
+@pytest.mark.parametrize("n,k", [(1 << 17, 100), (1 << 17, 1 << 14),
+                                 (50_000, 7), (1 << 12, 1 << 12)])
+def test_top_k_u32(rng, largest, n, k):
+    keys = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    vals, idx = top_k(jnp.asarray(keys), k, largest=largest)
+    wv, wi = _golden_topk(keys, k, largest)
+    np.testing.assert_array_equal(np.asarray(vals), wv)
+    np.testing.assert_array_equal(np.asarray(idx), wi)
+
+
+@pytest.mark.parametrize("largest", [True, False])
+def test_top_k_skew_fallback(rng, largest):
+    # all keys in ONE high-byte bin: survivors = n > B -> cond fallback
+    n, k = 1 << 17, 64
+    keys = (np.uint32(0xAB000000) | rng.integers(
+        0, 1 << 24, n, dtype=np.uint64).astype(np.uint32))
+    vals, idx = top_k(jnp.asarray(keys), k, largest=largest)
+    wv, wi = _golden_topk(keys, k, largest)
+    np.testing.assert_array_equal(np.asarray(vals), wv)
+    np.testing.assert_array_equal(np.asarray(idx), wi)
+
+
+def test_top_k_all_equal_stable():
+    n, k = 1 << 17, 10
+    keys = np.full(n, 42, np.uint32)
+    vals, idx = top_k(jnp.asarray(keys), k)
+    np.testing.assert_array_equal(np.asarray(vals), keys[:k])
+    np.testing.assert_array_equal(np.asarray(idx),
+                                  np.arange(k, dtype=np.uint32))
+
+
+def test_top_k_boundary_max_code(rng):
+    # largest=False with many 0xFFFFFFFF keys: survivor codes equal the
+    # sentinel — garbage tail rows must not leak into the answer
+    n, k = 1 << 17, 200
+    keys = rng.integers(0, 100, n, dtype=np.uint64).astype(np.uint32)
+    keys[rng.choice(n, 300, replace=False)] = np.uint32(0xFFFFFFFF)
+    vals, idx = top_k(jnp.asarray(keys), k, largest=True)
+    wv, wi = _golden_topk(keys, k, True)
+    np.testing.assert_array_equal(np.asarray(vals), wv)
+    np.testing.assert_array_equal(np.asarray(idx), wi)
+
+
+@pytest.mark.parametrize("dtype", [np.int32, np.float32])
+def test_top_k_dtypes(rng, dtype):
+    n, k = 1 << 17, 50
+    if dtype == np.int32:
+        keys = rng.integers(-(1 << 31), 1 << 31, n,
+                            dtype=np.int64).astype(np.int32)
+    else:
+        keys = (rng.standard_normal(n) * 1e6).astype(np.float32)
+    vals, idx = top_k(jnp.asarray(keys), k, largest=True)
+    wv, wi = _golden_topk(keys, k, True)
+    np.testing.assert_array_equal(np.asarray(vals), wv)
+    np.testing.assert_array_equal(np.asarray(idx), wi)
+
+
+@pytest.mark.parametrize("dtype", [np.uint32, np.int32])
+def test_unique(rng, dtype):
+    n = 1 << 13
+    keys = rng.integers(0, 200, n, dtype=np.int64).astype(dtype)
+    if dtype == np.int32:
+        keys -= 100
+    cnt, uk, counts = unique(jnp.asarray(keys))
+    wk, wc = np.unique(keys, return_counts=True)
+    c = int(cnt)
+    assert c == wk.size
+    np.testing.assert_array_equal(np.asarray(uk)[:c], wk)
+    np.testing.assert_array_equal(np.asarray(counts)[:c],
+                                  wc.astype(np.uint32))
+
+
+def test_unique_single_run(rng):
+    keys = np.full(4096, 7, np.uint32)
+    cnt, uk, counts = unique(jnp.asarray(keys))
+    assert int(cnt) == 1
+    assert int(np.asarray(uk)[0]) == 7
+    assert int(np.asarray(counts)[0]) == 4096
+
+
+def test_unique_all_distinct(rng):
+    keys = rng.permutation(1 << 12).astype(np.uint32)
+    cnt, uk, counts = unique(jnp.asarray(keys))
+    assert int(cnt) == keys.size
+    np.testing.assert_array_equal(np.asarray(uk), np.sort(keys))
+    np.testing.assert_array_equal(np.asarray(counts),
+                                  np.ones(keys.size, np.uint32))
