@@ -370,3 +370,46 @@ def dist_join_multi(build_keys: jax.Array, build_vals: jax.Array,
         mesh=mesh, in_specs=(P(axis),) * 4, out_specs=(P(axis),) * 6,
         check_vma=False)
     return fn(sbk, sbv, probe_keys, probe_vals)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "largest", "mesh", "axis"))
+def dist_top_k(keys: jax.Array, k: int, mesh: Mesh, largest: bool = True,
+               axis: str = DATA_AXIS):
+    """Distributed ORDER BY ... LIMIT k: every global top-k row is in its
+    shard's local top-k, so one local top_k per shard (ops/topk.py:
+    histogram-guided selection) + an all_gather of the D*k candidate
+    (value, global index) pairs + one tiny replicated sort finish it.
+    O(n/D) local work, one k*D-row collective. Requires k <= n/D.
+
+    Returns (values, global_indices), both length k, replicated across
+    the mesh. Ties broken by global position (stable), matching the
+    single-chip ops/topk.top_k exactly.
+    """
+    from lsdradixsort_tpu.core import keycodec
+    from lsdradixsort_tpu.ops.topk import top_k
+
+    d = mesh.devices.size
+    nl = keys.shape[0] // d
+    if k > nl:
+        raise ValueError(f"k={k} must be <= rows per shard ({nl})")
+
+    def shard_fn(x):
+        lv, li = top_k(x, k, largest=largest)
+        me = jax.lax.axis_index(axis).astype(jnp.uint32)
+        gi = me * jnp.uint32(nl) + li
+        av = jax.lax.all_gather(lv, axis).reshape(-1)    # (D*k,)
+        ai = jax.lax.all_gather(gi, axis).reshape(-1)
+        codes = keycodec.encode(av, descending=largest)
+        # candidates arrive shard-major with ascending global indices
+        # within each shard, so the unique-gi tiebreak reproduces the
+        # global stable order
+        sv, si = jax.lax.sort((codes, ai), num_keys=2, is_stable=False)
+        vals = keycodec.decode(sv[:k], x.dtype, descending=largest)
+        return vals, si[:k]
+
+    # check_vma=False: the Pallas calls inside top_k carry no
+    # varying-mesh-axes info, so replication of the post-all_gather math
+    # cannot be statically inferred (it IS replicated: deterministic
+    # function of the gathered candidates)
+    return shard_map(shard_fn, mesh=mesh, in_specs=(P(axis),),
+                     out_specs=(P(), P()), check_vma=False)(keys)

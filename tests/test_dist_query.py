@@ -297,3 +297,53 @@ def test_dist_join_multi_unique_matches_dist_join(mesh):
         shard_1d(jnp.asarray(pk), mesh), shard_1d(jnp.asarray(pv), mesh),
         mesh=mesh)
     assert counts.sum() == np.asarray(c2).sum()
+
+
+# --- dist_top_k -------------------------------------------------------------
+
+def _golden_topk_u32(keys, k, largest):
+    codes = ~keys if largest else keys
+    order = np.argsort(codes, kind="stable")[:k]
+    return keys[order], order.astype(np.uint32)
+
+
+@pytest.mark.parametrize("largest", [True, False])
+def test_dist_top_k(mesh, largest):
+    from lsdradixsort_tpu.parallel.dist_query import dist_top_k
+    from lsdradixsort_tpu.parallel.mesh import shard_1d
+    rng = np.random.default_rng(5)
+    n, k = 1 << 13, 37
+    keys = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    sk = shard_1d(jnp.asarray(keys), mesh)
+    vals, idx = dist_top_k(sk, k, mesh=mesh, largest=largest)
+    wv, wi = _golden_topk_u32(keys, k, largest)
+    np.testing.assert_array_equal(np.asarray(vals), wv)
+    np.testing.assert_array_equal(np.asarray(idx), wi)
+
+
+def test_dist_top_k_ties_across_shards(mesh):
+    from lsdradixsort_tpu.parallel.dist_query import dist_top_k
+    from lsdradixsort_tpu.parallel.mesh import shard_1d
+    n, k = 1 << 13, 64
+    keys = np.full(n, 9, np.uint32)  # every row ties: stability across shards
+    sk = shard_1d(jnp.asarray(keys), mesh)
+    vals, idx = dist_top_k(sk, k, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(vals), keys[:k])
+    np.testing.assert_array_equal(np.asarray(idx),
+                                  np.arange(k, dtype=np.uint32))
+
+
+def test_dist_top_k_skewed_one_shard(mesh):
+    # the global top-k lives entirely in one shard
+    from lsdradixsort_tpu.parallel.dist_query import dist_top_k
+    from lsdradixsort_tpu.parallel.mesh import shard_1d
+    rng = np.random.default_rng(6)
+    n, k = 1 << 13, 50
+    keys = rng.integers(0, 1 << 16, n, dtype=np.uint64).astype(np.uint32)
+    shard = n // 8
+    keys[3 * shard: 3 * shard + 200] += np.uint32(1 << 30)
+    sk = shard_1d(jnp.asarray(keys), mesh)
+    vals, idx = dist_top_k(sk, k, mesh=mesh)
+    wv, wi = _golden_topk_u32(keys, k, True)
+    np.testing.assert_array_equal(np.asarray(vals), wv)
+    np.testing.assert_array_equal(np.asarray(idx), wi)
