@@ -16,6 +16,20 @@ import jax.numpy as jnp
 _STREAM_TILE = 1 << 15   # kernels/compaction.py grid-step granularity
 
 
+def _bits_u32(a: jax.Array) -> jax.Array:
+    """Reinterpret any 32-bit column as u32 bits (identity for u32)."""
+    if a.dtype == jnp.uint32:
+        return a
+    if a.dtype.itemsize == 4:
+        return jax.lax.bitcast_convert_type(a, jnp.uint32)
+    raise TypeError(f"compact moves 32-bit columns, got {a.dtype}")
+
+
+def _bits_back(a: jax.Array, dtype) -> jax.Array:
+    return a if jnp.dtype(dtype) == jnp.uint32 else (
+        jax.lax.bitcast_convert_type(a, dtype))
+
+
 @jax.jit
 def compact(mask: jax.Array, *arrays):
     """Stable compaction: rows where mask is True move to the front.
@@ -42,9 +56,12 @@ def compact(mask: jax.Array, *arrays):
         for a in arrays:
             ap = a if npad == n else jnp.concatenate(
                 [a, jnp.zeros((npad - n,), a.dtype)])
-            padded.append(ap.astype(jnp.uint32))
+            # BITCAST, not astype: the kernel moves rows, it must not
+            # reinterpret values (astype would round float payloads)
+            padded.append(_bits_u32(ap))
         packed = compact_stream_multi(m, padded)
-        outs = [p[:n].astype(a.dtype) for p, a in zip(packed, arrays)]
+        outs = [_bits_back(p[:n], a.dtype)
+                for p, a in zip(packed, arrays)]
         return (count, *outs)
     sort_key = jnp.where(mask, jnp.uint32(0), jnp.uint32(1))
     # unstable 2-key sort with a unique iota tiebreak == stable 1-key sort,

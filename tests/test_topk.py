@@ -108,3 +108,19 @@ def test_unique_all_distinct(rng):
     np.testing.assert_array_equal(np.asarray(uk), np.sort(keys))
     np.testing.assert_array_equal(np.asarray(counts),
                                   np.ones(keys.size, np.uint32))
+
+
+def test_compact_streaming_preserves_float_bits(rng):
+    # regression: the streaming compaction path must BITCAST payloads,
+    # not value-convert them (astype would round floats)
+    from lsdradixsort_tpu.ops.filter import compact
+    n = 1 << 16  # >= _STREAM_TILE: forces the Pallas streaming path
+    keys = rng.integers(0, 1 << 20, n, dtype=np.uint64).astype(np.uint32)
+    fvals = (rng.standard_normal(n) * 1e-3).astype(np.float32)
+    mask = (keys & 1) == 0
+    cnt, fk, fv = compact(jnp.asarray(mask), jnp.asarray(keys),
+                          jnp.asarray(fvals))
+    c = int(cnt)
+    np.testing.assert_array_equal(np.asarray(fk)[:c], keys[mask])
+    np.testing.assert_array_equal(
+        np.asarray(fv)[:c].view(np.uint32), fvals[mask].view(np.uint32))
