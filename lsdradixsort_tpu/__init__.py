@@ -19,7 +19,7 @@ Layer map (mirrors reference layering, SURVEY.md §1):
 
 from lsdradixsort_tpu.core import digits, datagen, timing, roofline
 from lsdradixsort_tpu.ops.sort import (sort, sort_kv, argsort,
-                                       sort_with_ranks, sort64_with_ranks,
+                                       sort_with_ranks, sort64_with_ranks, sort_lex,
                                        sort_blocks_kv,
                                        merge_sort_keys, merge_sort_with_ranks,
                                        merge_sort_multi)
@@ -39,7 +39,7 @@ __version__ = "0.2.0"
 
 __all__ = [
     "sort", "sort_kv", "argsort", "sort_with_ranks",
-    "sort64_with_ranks", "sort_blocks_kv",
+    "sort64_with_ranks", "sort_lex", "sort_blocks_kv",
     "merge_sort_keys", "merge_sort_with_ranks", "merge_sort_multi",
     "sort_tiles", "sort_tiles_kv", "sort_tiles_multi",
     "shuffle_row_runs", "fill_forward_last",

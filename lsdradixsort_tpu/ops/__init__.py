@@ -6,7 +6,8 @@ from lsdradixsort_tpu.ops.aggregate import (group_by_sum, group_by_aggregate,  #
 from lsdradixsort_tpu.ops.join import hash_join, hash_join_multi  # noqa: F401
 from lsdradixsort_tpu.ops.topk import top_k, unique  # noqa: F401
 from lsdradixsort_tpu.ops.sort import (sort_with_ranks,  # noqa: F401
-                                       sort64_with_ranks, sort_blocks_kv)
+                                       sort64_with_ranks, sort_lex,
+                                       sort_blocks_kv)
 from lsdradixsort_tpu.ops.sort import (merge_sort_keys,  # noqa: F401
                                        merge_sort_with_ranks,
                                        merge_sort_multi)

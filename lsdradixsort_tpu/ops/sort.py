@@ -288,6 +288,59 @@ def argsort(keys: jax.Array, descending: bool = False) -> jax.Array:
     return perm
 
 
+@functools.partial(jax.jit, static_argnames=("descending", "strategy",
+                                             "tile_log2"))
+def sort_lex(key_cols, descending=False, strategy: str = "merge",
+             tile_log2: int = 15):
+    """Stable multi-column lexicographic sort: ORDER BY col0, col1, ...
+    (col0 primary). Returns (sorted_cols_tuple, original_positions).
+
+    key_cols: sequence of equal-length u32/i32/f32 columns. descending:
+    one bool for all columns or a per-column tuple (mixed ASC/DESC).
+    Ties across ALL columns break by original position (stable).
+
+    This is the reference's LSD digit-group loop (LSDRadixSort.cu:62-69)
+    lifted to whole columns as digits: one stable pass per column, least
+    significant (last) first, on the framework merge engine (or
+    strategy="xla"). A segmented sort (sort within runs of a segment-id
+    column) is exactly sort_lex([segment_id, key]).
+    """
+    cols = list(key_cols)
+    k = len(cols)
+    if k == 0:
+        raise ValueError("sort_lex needs at least one key column")
+    if isinstance(descending, bool):
+        descending = (descending,) * k
+    if len(descending) != k:
+        raise ValueError("descending must be a bool or one per column")
+    codes = [keycodec.encode(c, d) for c, d in zip(cols, descending)]
+    n = cols[0].shape[0]
+    perm = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
+    # LSD over columns: stable passes from least to most significant.
+    # Each pass sorts by one column with a fresh current-position iota as
+    # the (unique) tiebreak — preserving the previous pass's order — and
+    # every other code column plus the running permutation riding.
+    for i in reversed(range(k)):
+        others = [codes[j] for j in range(k) if j != i]
+        iota = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
+        if strategy == "merge":
+            key_s, outs = merge_sort_multi(codes[i], [iota, perm, *others],
+                                           tile_log2=tile_log2)
+            perm = outs[1]
+            rest = outs[2:]
+        elif strategy == "xla":
+            out = jax.lax.sort((codes[i], iota, perm, *others), num_keys=2,
+                               is_stable=False)
+            key_s, perm, rest = out[0], out[2], out[3:]
+        else:
+            raise ValueError(f"strategy {strategy!r}: pick 'merge' or 'xla'")
+        it = iter(rest)
+        codes = [key_s if j == i else next(it) for j in range(k)]
+    decoded = tuple(keycodec.decode(c, col.dtype, d)
+                    for c, col, d in zip(codes, cols, descending))
+    return decoded, perm
+
+
 @functools.partial(jax.jit, static_argnames=("dtype", "descending",
                                              "strategy", "tile_log2"))
 def sort64_with_ranks(key_hi: jax.Array, key_lo: jax.Array,

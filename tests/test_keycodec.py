@@ -181,3 +181,55 @@ def test_sort64_with_ranks(rng, dtype, desc, strategy):
     got_bits = hi_s.astype(np.uint64) << np.uint64(32) | lo_s
     np.testing.assert_array_equal(got_bits, bits[order])
     np.testing.assert_array_equal(perm, order.astype(np.uint32))
+
+
+# --- multi-column lexicographic sort ---------------------------------------
+
+def _lex_golden(cols, descs):
+    codes = [np.asarray(encode(jnp.asarray(c), d))
+             for c, d in zip(cols, descs)]
+    return np.lexsort(tuple(reversed(codes)))  # np.lexsort: primary LAST
+
+
+@pytest.mark.parametrize("strategy", ["merge", "xla"])
+@pytest.mark.parametrize("desc", [False, (False, True), (True, False)])
+def test_sort_lex_two_columns(rng, strategy, desc):
+    from lsdradixsort_tpu.ops.sort import sort_lex
+    n = 1 << 12
+    c0 = rng.integers(0, 50, n, dtype=np.int64).astype(np.int32) - 25
+    c1 = (rng.standard_normal(n) * 100).astype(np.float32)
+    descs = (desc, desc) if isinstance(desc, bool) else desc
+    kw = dict(tile_log2=9) if strategy == "merge" else {}
+    (s0, s1), perm = sort_lex([jnp.asarray(c0), jnp.asarray(c1)],
+                              descending=desc, strategy=strategy, **kw)
+    order = _lex_golden([c0, c1], descs)
+    np.testing.assert_array_equal(np.asarray(perm), order.astype(np.uint32))
+    np.testing.assert_array_equal(np.asarray(s0), c0[order])
+    np.testing.assert_array_equal(
+        np.asarray(s1).view(np.uint32), c1[order].view(np.uint32))
+
+
+def test_sort_lex_three_columns_stability(rng):
+    from lsdradixsort_tpu.ops.sort import sort_lex
+    n = 1 << 12
+    cols = [rng.integers(0, 4, n, dtype=np.uint64).astype(np.uint32)
+            for _ in range(3)]  # tiny domains: massive tie groups
+    (s0, s1, s2), perm = sort_lex([jnp.asarray(c) for c in cols])
+    order = _lex_golden(cols, (False,) * 3)
+    np.testing.assert_array_equal(np.asarray(perm), order.astype(np.uint32))
+    for s, c in zip((s0, s1, s2), cols):
+        np.testing.assert_array_equal(np.asarray(s), c[order])
+
+
+def test_sort_lex_as_segmented_sort(rng):
+    # segmented sort = sort_lex([segment_id, key]): keys sorted within
+    # each segment run, segments in id order, ties by input position
+    from lsdradixsort_tpu.ops.sort import sort_lex
+    n = 1 << 12
+    seg = rng.integers(0, 16, n, dtype=np.uint64).astype(np.uint32)
+    key = rng.integers(0, 1 << 32, n, dtype=np.uint64).astype(np.uint32)
+    (sseg, skey), perm = sort_lex([jnp.asarray(seg), jnp.asarray(key)])
+    order = np.lexsort((key, seg))
+    np.testing.assert_array_equal(np.asarray(perm), order.astype(np.uint32))
+    np.testing.assert_array_equal(np.asarray(sseg), seg[order])
+    np.testing.assert_array_equal(np.asarray(skey), key[order])
