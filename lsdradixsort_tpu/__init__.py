@@ -24,9 +24,11 @@ from lsdradixsort_tpu.ops.sort import (sort, sort_kv, argsort,
                                        merge_sort_keys, merge_sort_with_ranks,
                                        merge_sort_multi)
 from lsdradixsort_tpu.ops.filter import (filter_keys, filter_kv,
-                                         filter_in_set, compact)
+                                         filter_in_set, filter_not_in_set,
+                                         compact)
 from lsdradixsort_tpu.ops.aggregate import group_by_sum, group_by_aggregate
-from lsdradixsort_tpu.ops.join import hash_join, hash_join_multi
+from lsdradixsort_tpu.ops.join import (hash_join, hash_join_multi,
+                                       probe_lookup)
 from lsdradixsort_tpu.ops.topk import top_k, unique
 from lsdradixsort_tpu.kernels.histogram import digit_histogram, block_digit_histograms
 from lsdradixsort_tpu.kernels.scan import exclusive_scan, block_prefix_sums
@@ -43,9 +45,10 @@ __all__ = [
     "merge_sort_keys", "merge_sort_with_ranks", "merge_sort_multi",
     "sort_tiles", "sort_tiles_kv", "sort_tiles_multi",
     "shuffle_row_runs", "fill_forward_last",
-    "filter_keys", "filter_kv", "filter_in_set", "compact",
+    "filter_keys", "filter_kv", "filter_in_set", "filter_not_in_set",
+    "compact",
     "group_by_sum", "group_by_aggregate",
-    "hash_join", "hash_join_multi", "top_k", "unique",
+    "hash_join", "hash_join_multi", "probe_lookup", "top_k", "unique",
     "digit_histogram", "block_digit_histograms",
     "exclusive_scan", "block_prefix_sums",
     "digits", "datagen", "timing", "roofline",

@@ -93,19 +93,14 @@ def filter_kv(keys: jax.Array, values: jax.Array, lo, hi):
     return compact(mask, keys, values)
 
 
-@jax.jit
-def filter_in_set(keys: jax.Array, set_keys: jax.Array, *values):
-    """IN-list semi-join filter: keep rows whose key appears in `set_keys`
-    (unique membership keys, order-preserving). Returns (count, keys,
-    *values).
-
-    The membership test probes the lane-bucketed VMEM hash table
+def _in_set_mask(keys: jax.Array, set_keys: jax.Array) -> jax.Array:
+    """Membership mask: probes the lane-bucketed VMEM hash table
     (kernels/hash_table.py, semi mode: one lane-gather per chain row per
     probe block) — the small-build fast path the sort-merge join cannot
     match for dimension-table-sized sets. If a hash chain overflows the
     planned depth, a lax.cond falls back to a sorted-set searchsorted
-    membership test (XLA gather), so the result never depends on the hash.
-    """
+    membership test (XLA gather), so the result never depends on the
+    hash."""
     from lsdradixsort_tpu.kernels.hash_table import (build_table, plan_rows,
                                                      probe_table)
     nset = set_keys.shape[0]
@@ -120,5 +115,20 @@ def filter_in_set(keys: jax.Array, set_keys: jax.Array, *values):
         idx = jnp.clip(jnp.searchsorted(ss, keys), 0, nset - 1)
         return ss[idx] == keys
 
-    mask = jax.lax.cond(ok, _fast, _slow, operand=None)
-    return compact(mask, keys, *values)
+    return jax.lax.cond(ok, _fast, _slow, operand=None)
+
+
+@jax.jit
+def filter_in_set(keys: jax.Array, set_keys: jax.Array, *values):
+    """IN-list semi-join filter: keep rows whose key appears in `set_keys`
+    (unique membership keys, order-preserving). Returns (count, keys,
+    *values). Membership via the VMEM hash table (see _in_set_mask)."""
+    return compact(_in_set_mask(keys, set_keys), keys, *values)
+
+
+@jax.jit
+def filter_not_in_set(keys: jax.Array, set_keys: jax.Array, *values):
+    """NOT IN anti-join filter: keep rows whose key does NOT appear in
+    `set_keys` (unique membership keys, order-preserving). Returns
+    (count, keys, *values). Same engine as filter_in_set, inverted."""
+    return compact(~_in_set_mask(keys, set_keys), keys, *values)

@@ -104,6 +104,63 @@ def hash_join(build_keys: jax.Array, build_vals: jax.Array,
     return count, ok[:np_], opv[:np_], obv[:np_]
 
 
+@functools.partial(jax.jit, static_argnames=("engine", "tile_log2"))
+def probe_lookup(build_keys: jax.Array, build_vals: jax.Array,
+                 probe_keys: jax.Array, engine: str = "xla",
+                 tile_log2: int = 15):
+    """Per-row dictionary lookup: for every probe row, (match u32 0/1,
+    build_val) in PROBE INPUT ORDER (build_val 0 where unmatched).
+    Unique build keys. The relational building block behind the join
+    family: LEFT OUTER JOIN = attach these columns to the probe table;
+    semi-join = filter on match (ops/filter.filter_in_set); anti-join =
+    filter on ~match (filter_not_in_set).
+
+    Same engines as hash_join: "xla" / "merge" sort-merge spellings, or
+    "vmem" (small build sides; the VMEM table already answers in probe
+    order, so this op is its natural API)."""
+    nb, np_ = build_keys.shape[0], probe_keys.shape[0]
+    if engine == "vmem":
+        from lsdradixsort_tpu.kernels.hash_table import (build_table,
+                                                         plan_rows,
+                                                         probe_table)
+        tk, tv, cnt, okflag = build_table(build_keys, build_vals,
+                                          plan_rows(nb))
+
+        def _fast(_):
+            return probe_table(tk, tv, cnt, probe_keys)
+
+        def _slow(_):
+            return probe_lookup(build_keys, build_vals, probe_keys,
+                                engine="xla", tile_log2=tile_log2)
+
+        return jax.lax.cond(okflag, _fast, _slow, operand=None)
+
+    keys = jnp.concatenate([build_keys, probe_keys])
+    packed = jnp.concatenate([
+        jnp.arange(nb, dtype=jnp.uint32),
+        jnp.arange(np_, dtype=jnp.uint32) | jnp.uint32(0x80000000)])
+    val = jnp.concatenate([build_vals, jnp.zeros((np_,), jnp.uint32)])
+    if engine == "merge":
+        from lsdradixsort_tpu.ops.sort import merge_sort_multi
+        sk, (spacked, sval) = merge_sort_multi(keys, [packed, val],
+                                               tile_log2=tile_log2)
+    else:
+        sk, spacked, sval = jax.lax.sort((keys, packed, val), num_keys=2,
+                                         is_stable=False)
+    is_build = spacked < jnp.uint32(0x80000000)
+    bk_fill, seg_bval, has_build = fill_forward_last(is_build, sk, sval)
+    matched = ~is_build & (has_build == 1) & (bk_fill == sk)
+    # restore probe input order: every probe row keyed by its position,
+    # build rows sentinel-keyed past them
+    order_key = jnp.where(is_build, jnp.uint32(0xFFFFFFFF),
+                          spacked & jnp.uint32(0x7FFFFFFF))
+    _, m, bv = jax.lax.sort(
+        (order_key, matched.astype(jnp.uint32),
+         jnp.where(matched, seg_bval, jnp.uint32(0))),
+        num_keys=1, is_stable=False)
+    return m[:np_], bv[:np_]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("max_out", "engine", "tile_log2",
                                     "return_build_idx"))

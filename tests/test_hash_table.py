@@ -145,3 +145,54 @@ def test_filter_in_set_overflow_fallback(rng):
     mask = np.isin(keys, sk)
     assert int(count) == int(mask.sum())
     np.testing.assert_array_equal(np.asarray(fk)[:int(count)], keys[mask])
+
+
+def test_filter_not_in_set(rng):
+    from lsdradixsort_tpu.ops.filter import filter_not_in_set
+    sk = _unique_keys(rng, 300)
+    n = 50_000
+    keys = rng.choice(np.concatenate([sk, _unique_keys(rng, 300)]),
+                      n).astype(np.uint32)
+    vals = np.arange(n, dtype=np.uint32)
+    count, fk, fv = filter_not_in_set(jnp.asarray(keys), jnp.asarray(sk),
+                                      jnp.asarray(vals))
+    mask = ~np.isin(keys, sk)
+    c = int(count)
+    assert c == int(mask.sum())
+    np.testing.assert_array_equal(np.asarray(fk)[:c], keys[mask])
+    np.testing.assert_array_equal(np.asarray(fv)[:c], vals[mask])
+
+
+@pytest.mark.parametrize("engine", ["xla", "merge", "vmem"])
+def test_probe_lookup(rng, engine):
+    from lsdradixsort_tpu.ops.join import probe_lookup
+    nb, npr = 1000, 1 << 14
+    bk = _unique_keys(rng, nb)
+    bv = rng.integers(0, 1 << 32, nb, dtype=np.uint64).astype(np.uint32)
+    pk = rng.choice(np.concatenate([bk, _unique_keys(rng, nb)]),
+                    npr).astype(np.uint32)
+    kw = dict(tile_log2=9) if engine == "merge" else {}
+    m, v = probe_lookup(jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk),
+                        engine=engine, **kw)
+    lut = dict(zip(bk.tolist(), bv.tolist()))
+    want_m = np.array([k in lut for k in pk.tolist()], dtype=np.uint32)
+    want_v = np.array([lut.get(k, 0) for k in pk.tolist()], dtype=np.uint32)
+    np.testing.assert_array_equal(np.asarray(m), want_m)
+    np.testing.assert_array_equal(np.asarray(v), want_v)
+
+
+def test_probe_lookup_vmem_overflow_fallback(rng):
+    from lsdradixsort_tpu.ops.join import probe_lookup
+    from lsdradixsort_tpu.kernels.hash_table import plan_rows
+    bk = _colliding_keys(plan_rows(32) + 3)
+    nb = bk.size
+    bv = rng.integers(0, 1 << 32, nb, dtype=np.uint64).astype(np.uint32)
+    pk = rng.choice(np.concatenate([bk, bk + np.uint32(1)]),
+                    4096).astype(np.uint32)
+    m, v = probe_lookup(jnp.asarray(bk), jnp.asarray(bv), jnp.asarray(pk),
+                        engine="vmem")
+    lut = dict(zip(bk.tolist(), bv.tolist()))
+    want_m = np.array([k in lut for k in pk.tolist()], dtype=np.uint32)
+    want_v = np.array([lut.get(k, 0) for k in pk.tolist()], dtype=np.uint32)
+    np.testing.assert_array_equal(np.asarray(m), want_m)
+    np.testing.assert_array_equal(np.asarray(v), want_v)
