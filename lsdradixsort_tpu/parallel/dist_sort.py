@@ -196,40 +196,51 @@ def _dist_sort_shard(keys, values, ranks, axis, n_total, stable, src=None,
     return tuple(out)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
-def dist_sort(keys: jax.Array, mesh: Mesh, axis: str = DATA_AXIS) -> jax.Array:
-    """Globally sort uint32 keys sharded over `axis`. Exact and balanced
-    for any distribution; n must be divisible by the mesh size."""
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "descending"))
+def dist_sort(keys: jax.Array, mesh: Mesh, axis: str = DATA_AXIS,
+              descending: bool = False) -> jax.Array:
+    """Globally sort keys (u32/i32/f32, asc/desc) sharded over `axis`.
+    Exact and balanced for any distribution; n must be divisible by the
+    mesh size. Non-u32 dtypes ride the order-preserving codecs
+    (core/keycodec.py) — elementwise, so they commute with the sharding
+    and add one fused op per stream end."""
+    from lsdradixsort_tpu.core import keycodec
     n = keys.shape[0]
     d = mesh.shape[axis]
     if n % d:
         raise ValueError(f"n={n} must be divisible by mesh size {d}")
     ranks = (jnp.arange(1, d, dtype=jnp.uint32) * jnp.uint32(n // d))
+    code = keycodec.encode(keys, descending)
 
     def shard_fn(k):
         (out,) = _dist_sort_shard(k, (), ranks, axis, n, stable=False)
         return out
 
-    return shard_map(shard_fn, mesh=mesh, in_specs=P(axis),
-                     out_specs=P(axis))(keys)
+    out = shard_map(shard_fn, mesh=mesh, in_specs=P(axis),
+                    out_specs=P(axis))(code)
+    return keycodec.decode(out, keys.dtype, descending)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "descending"))
 def dist_sort_kv(keys: jax.Array, values: jax.Array, mesh: Mesh,
-                 axis: str = DATA_AXIS):
-    """Globally stable key-value sort, sharded over `axis`.
+                 axis: str = DATA_AXIS, descending: bool = False):
+    """Globally stable key-value sort, sharded over `axis`. Keys
+    u32/i32/f32, ascending or descending (core/keycodec.py).
 
     Stability across shards comes from shipping a 32-bit global source rank
     with each row (n < 2**32) and sorting received rows by (key, rank).
     """
+    from lsdradixsort_tpu.core import keycodec
     n = keys.shape[0]
     d = mesh.shape[axis]
     if n % d:
         raise ValueError(f"n={n} must be divisible by mesh size {d}")
     ranks = (jnp.arange(1, d, dtype=jnp.uint32) * jnp.uint32(n // d))
+    code = keycodec.encode(keys, descending)
 
     def shard_fn(k, v):
         return _dist_sort_shard(k, (v,), ranks, axis, n, stable=True)
 
-    return shard_map(shard_fn, mesh=mesh, in_specs=(P(axis), P(axis)),
-                     out_specs=(P(axis), P(axis)))(keys, values)
+    ok, ov = shard_map(shard_fn, mesh=mesh, in_specs=(P(axis), P(axis)),
+                       out_specs=(P(axis), P(axis)))(code, values)
+    return keycodec.decode(ok, keys.dtype, descending), ov

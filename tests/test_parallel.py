@@ -71,3 +71,30 @@ def test_dist_histogram(rng, mesh, r, group):
                                mesh)
     want = golden.digit_histograms(keys, r, group, n).sum(axis=0)
     check_arrays(np.asarray(got), want.astype(np.uint32), "dist hist")
+
+
+def test_dist_sort_f32_descending(mesh):
+    from lsdradixsort_tpu.parallel import dist_sort, shard_1d
+    import jax.numpy as jnp
+    rng = np.random.default_rng(8)
+    n = 1 << 12
+    keys = (rng.standard_normal(n) * 1e3).astype(np.float32)
+    out = dist_sort(shard_1d(jnp.asarray(keys), mesh), mesh,
+                    descending=True)
+    got = np.asarray(out)
+    want = np.sort(keys)[::-1]
+    np.testing.assert_array_equal(got == want, np.full(n, True))
+
+
+def test_dist_sort_kv_i32(mesh):
+    from lsdradixsort_tpu.parallel import dist_sort_kv, shard_1d
+    import jax.numpy as jnp
+    rng = np.random.default_rng(9)
+    n = 1 << 12
+    keys = rng.integers(-40, 40, n, dtype=np.int64).astype(np.int32)
+    vals = np.arange(n, dtype=np.uint32)
+    ok, ov = dist_sort_kv(shard_1d(jnp.asarray(keys), mesh),
+                          shard_1d(jnp.asarray(vals), mesh), mesh)
+    perm = np.argsort(keys, kind="stable")
+    np.testing.assert_array_equal(np.asarray(ok), keys[perm])
+    np.testing.assert_array_equal(np.asarray(ov), perm.astype(np.uint32))
