@@ -23,6 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from lsdradixsort_tpu.core import keycodec
 from lsdradixsort_tpu.ops.filter import compact
 
 
@@ -48,7 +49,37 @@ def group_by_aggregate(group_keys: jax.Array, values: jax.Array,
     engine="merge" routes the grouping sort through the framework merge
     sort (ops/sort.merge_sort_multi / merge_sort_keys); "xla" uses
     jax.lax.sort. Results are identical (modular sums are
-    order-independent; min/max sort by (key, value) in both engines)."""
+    order-independent; min/max sort by (key, value) in both engines).
+
+    Dtypes (core/keycodec.py): group keys may be u32/i32/f32 (groups
+    return sorted in that dtype's order). Values may be u32/i32 for sum
+    (i32 sums are exact two's-complement mod 2^32 — the bits of the true
+    sum) and u32/i32/f32 for min/max (codec-monotone, so the reduced
+    code IS the reduced value). f32 SUM is rejected: float addition is
+    not associative, so no order-independent bit-exact spelling exists.
+    """
+    kdt = group_keys.dtype
+    group_keys = keycodec.encode(group_keys)
+    vdt = values.dtype
+    if reduction == "sum":
+        if vdt == jnp.float32:
+            raise TypeError("f32 SUM is order-dependent; no bit-exact "
+                            "spelling (cast to int or use min/max/count)")
+        if vdt == jnp.int32:
+            values = jax.lax.bitcast_convert_type(values, jnp.uint32)
+    elif reduction in ("min", "max"):
+        values = keycodec.encode(values)
+
+    def _key_out(uk):
+        return keycodec.decode(uk, kdt)
+
+    def _val_out(v):
+        if reduction == "sum" and vdt == jnp.int32:
+            return jax.lax.bitcast_convert_type(v, jnp.int32)
+        if reduction in ("min", "max"):
+            return keycodec.decode(v, vdt)
+        return v
+
     n = group_keys.shape[0]
     if reduction == "sum":
         # modular sums are order-independent: no stability needed, so skip
@@ -77,12 +108,12 @@ def group_by_aggregate(group_keys: jax.Array, values: jax.Array,
         # are consecutive runs; subtract the previous run's cumsum
         prev = jnp.concatenate([jnp.zeros((1,), sv.dtype), run_end_csum[:-1]])
         sums = run_end_csum - prev
-        return count, uk, sums
+        return count, _key_out(uk), _val_out(sums)
     if reduction == "count":
         pos = jnp.arange(n, dtype=jnp.uint32)
         count, uk, run_end_pos = compact(is_last, sk, pos)
         prev = jnp.concatenate([-jnp.ones((1,), jnp.uint32), run_end_pos[:-1]])
-        return count, uk, run_end_pos - prev
+        return count, _key_out(uk), run_end_pos - prev
     if reduction in ("min", "max"):
         # re-sort by (key, value): a run's min is then its FIRST value and
         # its max its LAST — no segmented scan needed (associative_scan
@@ -98,11 +129,11 @@ def group_by_aggregate(group_keys: jax.Array, values: jax.Array,
             is_head = jnp.concatenate([jnp.ones((1,), dtype=bool),
                                        sk2[1:] != sk2[:-1]])
             count, uk, agg = compact(is_head, sk2, sv2)
-        else:
+        else:  # max
             is_tail = jnp.concatenate([sk2[1:] != sk2[:-1],
                                        jnp.ones((1,), dtype=bool)])
             count, uk, agg = compact(is_tail, sk2, sv2)
-        return count, uk, agg
+        return count, _key_out(uk), _val_out(agg)
     raise ValueError(f"unknown reduction {reduction!r}")
 
 

@@ -124,3 +124,50 @@ def test_compact_streaming_preserves_float_bits(rng):
     np.testing.assert_array_equal(np.asarray(fk)[:c], keys[mask])
     np.testing.assert_array_equal(
         np.asarray(fv)[:c].view(np.uint32), fvals[mask].view(np.uint32))
+
+
+# --- aggregate dtype surface ------------------------------------------------
+
+def test_group_by_i32_keys_i32_sums(rng):
+    from lsdradixsort_tpu.ops import group_by_sum
+    n = 1 << 12
+    gk = (rng.integers(0, 60, n)).astype(np.int32) - 30
+    vals = (rng.integers(-1000, 1000, n)).astype(np.int32)
+    cnt, uk, sums = group_by_sum(jnp.asarray(gk), jnp.asarray(vals))
+    wk = np.unique(gk)
+    ws = np.zeros_like(wk, dtype=np.int64)
+    np.add.at(ws, np.searchsorted(wk, gk), vals.astype(np.int64))
+    c = int(cnt)
+    assert c == wk.size
+    np.testing.assert_array_equal(np.asarray(uk)[:c], wk)
+    # i32 sums are exact two's-complement mod 2^32
+    np.testing.assert_array_equal(np.asarray(sums)[:c],
+                                  ws.astype(np.int32))
+
+
+@pytest.mark.parametrize("red", ["min", "max"])
+def test_group_by_f32_minmax(rng, red):
+    from lsdradixsort_tpu.ops import group_by_aggregate
+    n = 1 << 12
+    gk = (rng.standard_normal(n // 64).repeat(64)).astype(np.float32)
+    vals = (rng.standard_normal(n) * 100).astype(np.float32)
+    cnt, uk, agg = group_by_aggregate(jnp.asarray(gk), jnp.asarray(vals),
+                                      reduction=red)
+    wk = np.unique(gk)
+    fn = np.minimum if red == "min" else np.maximum
+    init = np.inf if red == "min" else -np.inf
+    wagg = np.full(wk.size, init, np.float32)
+    idx = np.searchsorted(wk, gk)
+    np.__dict__[red + "imum"].at(wagg, idx, vals)
+    c = int(cnt)
+    assert c == wk.size
+    np.testing.assert_array_equal(np.asarray(uk)[:c], wk)
+    np.testing.assert_array_equal(np.asarray(agg)[:c], wagg)
+    del fn
+
+
+def test_group_by_f32_sum_rejected(rng):
+    from lsdradixsort_tpu.ops import group_by_sum
+    with pytest.raises(TypeError):
+        group_by_sum(jnp.arange(8, dtype=jnp.uint32),
+                     jnp.ones(8, jnp.float32))
