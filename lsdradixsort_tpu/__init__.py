@@ -30,6 +30,7 @@ from lsdradixsort_tpu.ops.aggregate import group_by_sum, group_by_aggregate
 from lsdradixsort_tpu.ops.join import (hash_join, hash_join_multi,
                                        probe_lookup)
 from lsdradixsort_tpu.ops.topk import top_k, unique
+from lsdradixsort_tpu.ops.window import window_rank
 from lsdradixsort_tpu.kernels.histogram import digit_histogram, block_digit_histograms
 from lsdradixsort_tpu.kernels.scan import exclusive_scan, block_prefix_sums
 from lsdradixsort_tpu.kernels.tile_sort import (sort_tiles, sort_tiles_kv,
@@ -48,7 +49,7 @@ __all__ = [
     "filter_keys", "filter_kv", "filter_in_set", "filter_not_in_set",
     "compact",
     "group_by_sum", "group_by_aggregate",
-    "hash_join", "hash_join_multi", "probe_lookup", "top_k", "unique",
+    "hash_join", "hash_join_multi", "probe_lookup", "top_k", "unique", "window_rank",
     "digit_histogram", "block_digit_histograms",
     "exclusive_scan", "block_prefix_sums",
     "digits", "datagen", "timing", "roofline",

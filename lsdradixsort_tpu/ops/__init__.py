@@ -7,6 +7,7 @@ from lsdradixsort_tpu.ops.aggregate import (group_by_sum, group_by_aggregate,  #
 from lsdradixsort_tpu.ops.join import (hash_join, hash_join_multi,  # noqa: F401
                                        probe_lookup)
 from lsdradixsort_tpu.ops.topk import top_k, unique  # noqa: F401
+from lsdradixsort_tpu.ops.window import window_rank  # noqa: F401
 from lsdradixsort_tpu.ops.sort import (sort_with_ranks,  # noqa: F401
                                        sort64_with_ranks, sort_lex,
                                        sort_blocks_kv)

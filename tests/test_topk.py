@@ -171,3 +171,54 @@ def test_group_by_f32_sum_rejected(rng):
     with pytest.raises(TypeError):
         group_by_sum(jnp.arange(8, dtype=jnp.uint32),
                      jnp.ones(8, jnp.float32))
+
+
+# --- window ranks -----------------------------------------------------------
+
+def _golden_window(p, k, method, desc):
+    n = p.size
+    kk = -k.astype(np.int64) if desc else k.astype(np.int64)
+    order = np.lexsort((np.arange(n), kk, p))
+    out = np.zeros(n, np.uint32)
+    rank = {}
+    i = 0
+    while i < n:
+        j = i
+        while j < n and p[order[j]] == p[order[i]]:
+            j += 1
+        rn, rk, dr, prev = 0, 0, 0, None
+        for t in range(i, j):
+            rn += 1
+            cur = k[order[t]]
+            if prev is None or cur != prev:
+                rk, dr, prev = rn, dr + 1, cur
+            out[order[t]] = {"row_number": rn, "rank": rk,
+                             "dense_rank": dr}[method]
+        i = j
+    return out
+
+
+@pytest.mark.parametrize("method", ["row_number", "rank", "dense_rank"])
+@pytest.mark.parametrize("desc", [False, True])
+@pytest.mark.parametrize("strategy", ["merge", "xla"])
+def test_window_rank(rng, method, desc, strategy):
+    from lsdradixsort_tpu.ops.window import window_rank
+    n = 1 << 11
+    p = rng.integers(0, 12, n, dtype=np.uint64).astype(np.uint32)
+    k = rng.integers(0, 6, n, dtype=np.uint64).astype(np.uint32)  # ties!
+    kw = dict(tile_log2=9) if strategy == "merge" else {}
+    got = np.asarray(window_rank(jnp.asarray(p), jnp.asarray(k),
+                                 method=method, descending=desc,
+                                 strategy=strategy, **kw))
+    np.testing.assert_array_equal(got, _golden_window(p, k, method, desc))
+
+
+def test_window_rank_i32_order(rng):
+    from lsdradixsort_tpu.ops.window import window_rank
+    n = 1 << 11
+    p = rng.integers(0, 8, n, dtype=np.uint64).astype(np.uint32)
+    k = (rng.integers(0, 10, n)).astype(np.int32) - 5
+    got = np.asarray(window_rank(jnp.asarray(p), jnp.asarray(k),
+                                 method="rank"))
+    np.testing.assert_array_equal(
+        got, _golden_window(p, k.astype(np.int64), "rank", False))
