@@ -28,7 +28,8 @@ from lsdradixsort_tpu.ops.filter import (filter_keys, filter_kv,
                                          compact)
 from lsdradixsort_tpu.ops.aggregate import group_by_sum, group_by_aggregate
 from lsdradixsort_tpu.ops.join import (hash_join, hash_join_multi,
-                                       probe_lookup)
+                                       probe_lookup, probe_lookup64,
+                                       hash_join64)
 from lsdradixsort_tpu.ops.topk import top_k, unique
 from lsdradixsort_tpu.ops.window import window_rank
 from lsdradixsort_tpu.kernels.histogram import digit_histogram, block_digit_histograms
@@ -49,7 +50,8 @@ __all__ = [
     "filter_keys", "filter_kv", "filter_in_set", "filter_not_in_set",
     "compact",
     "group_by_sum", "group_by_aggregate",
-    "hash_join", "hash_join_multi", "probe_lookup", "top_k", "unique", "window_rank",
+    "hash_join", "hash_join_multi", "probe_lookup", "probe_lookup64",
+    "hash_join64", "top_k", "unique", "window_rank",
     "digit_histogram", "block_digit_histograms",
     "exclusive_scan", "block_prefix_sums",
     "digits", "datagen", "timing", "roofline",

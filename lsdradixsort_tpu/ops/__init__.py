@@ -5,7 +5,8 @@ from lsdradixsort_tpu.ops.filter import (filter_keys, filter_kv,  # noqa: F401
 from lsdradixsort_tpu.ops.aggregate import (group_by_sum, group_by_aggregate,  # noqa: F401
                                             filtered_group_by_sum)
 from lsdradixsort_tpu.ops.join import (hash_join, hash_join_multi,  # noqa: F401
-                                       probe_lookup)
+                                       probe_lookup, probe_lookup64,
+                                       hash_join64)
 from lsdradixsort_tpu.ops.topk import top_k, unique  # noqa: F401
 from lsdradixsort_tpu.ops.window import window_rank  # noqa: F401
 from lsdradixsort_tpu.ops.sort import (sort_with_ranks,  # noqa: F401

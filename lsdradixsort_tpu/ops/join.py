@@ -161,6 +161,55 @@ def probe_lookup(build_keys: jax.Array, build_vals: jax.Array,
     return m[:np_], bv[:np_]
 
 
+@jax.jit
+def probe_lookup64(build_hi: jax.Array, build_lo: jax.Array,
+                   build_vals: jax.Array, probe_hi: jax.Array,
+                   probe_lo: jax.Array):
+    """probe_lookup for 64-bit keys given as (hi, lo) u32 planes (the
+    columnar 64-bit representation, core/keycodec.py §64-bit): per probe
+    row, (match u32 0/1, build_val) in probe input order. Unique build
+    keys. Join equality is bit-equality, so i64/f64 callers pass their
+    bit planes directly — no codec needed.
+
+    Same sort-merge design as probe_lookup with a 3-key sort
+    ((hi, lo, tag|pos)) and one fill-forward sweep per key plane; the
+    segment hit test compares BOTH planes."""
+    nb, np_ = build_hi.shape[0], probe_hi.shape[0]
+    hi = jnp.concatenate([build_hi, probe_hi])
+    lo = jnp.concatenate([build_lo, probe_lo])
+    packed = jnp.concatenate([
+        jnp.arange(nb, dtype=jnp.uint32),
+        jnp.arange(np_, dtype=jnp.uint32) | jnp.uint32(0x80000000)])
+    val = jnp.concatenate([build_vals, jnp.zeros((np_,), jnp.uint32)])
+    shi, slo, spacked, sval = jax.lax.sort((hi, lo, packed, val),
+                                           num_keys=3, is_stable=False)
+    is_build = spacked < jnp.uint32(0x80000000)
+    hi_fill, seg_bval, has_build = fill_forward_last(is_build, shi, sval)
+    lo_fill, _, _ = fill_forward_last(is_build, slo, sval)
+    matched = (~is_build & (has_build == 1)
+               & (hi_fill == shi) & (lo_fill == slo))
+    order_key = jnp.where(is_build, jnp.uint32(0xFFFFFFFF),
+                          spacked & jnp.uint32(0x7FFFFFFF))
+    _, m, bv = jax.lax.sort(
+        (order_key, matched.astype(jnp.uint32),
+         jnp.where(matched, seg_bval, jnp.uint32(0))),
+        num_keys=1, is_stable=False)
+    return m[:np_], bv[:np_]
+
+
+@jax.jit
+def hash_join64(build_hi: jax.Array, build_lo: jax.Array,
+                build_vals: jax.Array, probe_hi: jax.Array,
+                probe_lo: jax.Array, probe_vals: jax.Array):
+    """Inner equi-join on 64-bit keys as (hi, lo) u32 planes (unique
+    build keys). Returns (count, probe_hi, probe_lo, probe_vals,
+    build_vals) in probe order; rows past `count` unspecified."""
+    from lsdradixsort_tpu.ops.filter import compact
+    m, bv = probe_lookup64(build_hi, build_lo, build_vals,
+                           probe_hi, probe_lo)
+    return compact(m == 1, probe_hi, probe_lo, probe_vals, bv)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("max_out", "engine", "tile_log2",
                                     "return_build_idx"))

@@ -196,3 +196,40 @@ def test_probe_lookup_vmem_overflow_fallback(rng):
     want_v = np.array([lut.get(k, 0) for k in pk.tolist()], dtype=np.uint32)
     np.testing.assert_array_equal(np.asarray(m), want_m)
     np.testing.assert_array_equal(np.asarray(v), want_v)
+
+
+def test_probe_lookup64_and_join64(rng):
+    from lsdradixsort_tpu.ops.join import hash_join64, probe_lookup64
+    nb, npr = 700, 1 << 13
+    # unique 64-bit build keys with COLLIDING hi planes (hi has 16 values)
+    bhi = rng.integers(0, 16, nb, dtype=np.uint64).astype(np.uint32)
+    blo = rng.permutation(1 << 20)[:nb].astype(np.uint32)
+    bv = rng.integers(0, 1 << 32, nb, dtype=np.uint64).astype(np.uint32)
+    # probes: half hits, half misses that SHARE a plane with a build key
+    # (same hi+different lo, or same lo+different hi — both-plane check)
+    pick = rng.integers(0, nb, npr)
+    phi, plo = bhi[pick].copy(), blo[pick].copy()
+    kind = rng.integers(0, 4, npr)
+    phi[kind == 1] ^= np.uint32(0x20)          # miss: hi off, lo matches
+    plo[kind == 2] ^= np.uint32(1 << 21)       # miss: lo off, hi matches
+    pv = np.arange(npr, dtype=np.uint32)
+    lut = {(h, l): v for h, l, v in
+           zip(bhi.tolist(), blo.tolist(), bv.tolist())}
+    want_m = np.array([(h, l) in lut
+                       for h, l in zip(phi.tolist(), plo.tolist())],
+                      dtype=np.uint32)
+    want_v = np.array([lut.get((h, l), 0)
+                       for h, l in zip(phi.tolist(), plo.tolist())],
+                      dtype=np.uint32)
+    m, v = probe_lookup64(*map(jnp.asarray, (bhi, blo, bv, phi, plo)))
+    np.testing.assert_array_equal(np.asarray(m), want_m)
+    np.testing.assert_array_equal(np.asarray(v), want_v)
+    cnt, jh, jl, jpv, jbv = hash_join64(
+        *map(jnp.asarray, (bhi, blo, bv, phi, plo, pv)))
+    c = int(cnt)
+    keep = want_m == 1
+    assert c == int(keep.sum())
+    np.testing.assert_array_equal(np.asarray(jh)[:c], phi[keep])
+    np.testing.assert_array_equal(np.asarray(jl)[:c], plo[keep])
+    np.testing.assert_array_equal(np.asarray(jpv)[:c], pv[keep])
+    np.testing.assert_array_equal(np.asarray(jbv)[:c], want_v[keep])
