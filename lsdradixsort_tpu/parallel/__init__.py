@@ -4,4 +4,5 @@ from lsdradixsort_tpu.parallel.dist_hist import dist_digit_histogram  # noqa: F4
 from lsdradixsort_tpu.parallel.dist_query import (dist_group_by_sum,  # noqa: F401
                                                   dist_join, dist_join_multi,
                                                   dist_filter_kv, dist_top_k,
+                                                  dist_unique,
                                                   undistribute)

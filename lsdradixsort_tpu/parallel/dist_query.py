@@ -413,3 +413,13 @@ def dist_top_k(keys: jax.Array, k: int, mesh: Mesh, largest: bool = True,
     # function of the gathered candidates)
     return shard_map(shard_fn, mesh=mesh, in_specs=(P(axis),),
                      out_specs=(P(), P()), check_vma=False)(keys)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "axis"))
+def dist_unique(keys: jax.Array, mesh: Mesh, axis: str = DATA_AXIS):
+    """Distributed SELECT DISTINCT + counts: sorted distinct keys with
+    multiplicities, ragged per shard like every dist operator (shard s's
+    valid rows at [s*n/D, s*n/D + counts[s])). One distributed group-by
+    with unit values — the counts are the run lengths."""
+    ones = jnp.ones((keys.shape[0],), jnp.uint32)
+    return dist_group_by_sum(keys, ones, mesh=mesh, axis=axis)

@@ -347,3 +347,16 @@ def test_dist_top_k_skewed_one_shard(mesh):
     wv, wi = _golden_topk_u32(keys, k, True)
     np.testing.assert_array_equal(np.asarray(vals), wv)
     np.testing.assert_array_equal(np.asarray(idx), wi)
+
+
+def test_dist_unique(mesh):
+    from lsdradixsort_tpu.parallel.dist_query import dist_unique
+    rng = np.random.default_rng(12)
+    n = 1 << 12
+    keys = rng.integers(0, 97, n, dtype=np.uint64).astype(np.uint32)
+    counts, uk, cts = dist_unique(jnp.asarray(keys), mesh=mesh)
+    total, ck, cc = undistribute(counts, uk, cts)
+    wk, wc = np.unique(keys, return_counts=True)
+    assert total == wk.size
+    np.testing.assert_array_equal(ck, wk)
+    np.testing.assert_array_equal(cc, wc.astype(np.uint32))
