@@ -17,6 +17,9 @@ cd /root/repo
   timeout 2400 python -m lsdradixsort_tpu.bench sort --n 27 --verify --out reports/sort_r2d
   timeout 3600 python -m lsdradixsort_tpu.bench query --n 26 --verify --sweep --out reports/query_r2d
   timeout 1800 python -m lsdradixsort_tpu.bench dist --n 22 --verify --out reports/dist_r2d
+  timeout 1800 python -m lsdradixsort_tpu.bench scan --n 27 --verify --out reports/scan_r2d
+  timeout 1800 python -m lsdradixsort_tpu.bench tile_sort --n 24 --verify --out reports/tile_sort_r2d
+  timeout 1800 python -m lsdradixsort_tpu.bench shuffle --n 26 --verify --out reports/shuffle_r2d
   # 3. flagship + kv
   timeout 1200 python bench.py --verify --kv
   # 4. at-scale re-verify of the round-2c/2d changes (pad layout, DMA
