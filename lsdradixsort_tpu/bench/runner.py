@@ -107,6 +107,20 @@ def suite_sort(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
                       host_args=host_args, verify=ver))
     out.append(_bench("sort/keys_xla", {"n": n}, fx, (keys,), n,
                       bytes_moved=8 * n, verify=verx))
+    # f32 keys through the order-preserving codec (core/keycodec.py):
+    # prices the encode/decode overhead on the same engine
+    fkeys = jax.lax.bitcast_convert_type(
+        datagen.random_keys(n, seed=3) >> 9, jnp.float32) + jnp.float32(1.0)
+    ff = jax.jit(lambda k: sort(k))
+    vf = None
+    if verify:
+        fkeys_np = np.asarray(fkeys)
+        def vf():
+            got = np.asarray(ff(fkeys))
+            want = np.sort(fkeys_np)
+            assert (got == want).all()
+    out.append(_bench("sort/keys_f32", {"n": n, "strategy": "merge"}, ff,
+                      (fkeys,), n, bytes_moved=8 * n, verify=vf))
     vals = jnp.arange(n, dtype=jnp.uint32)
     fkv = jax.jit(lambda k, v: sort_kv(k, v))
     fmr = jax.jit(merge_sort_with_ranks)
