@@ -59,7 +59,11 @@ def _reshape_kernel(x_ref, o_ref, *, rd, reps, kv):
             nb = jnp.where(t, a, b)
             key = jnp.stack([na, nb], axis=1)
         else:
-            key = jnp.stack([jnp.minimum(a, b), jnp.maximum(a, b)], axis=1)
+            # NOT jnp.minimum/maximum: Mosaic fails to legalize
+            # arith.minui on u32 vectors (probed 2026-08-19)
+            t = b < a
+            key = jnp.stack([jnp.where(t, b, a), jnp.where(t, a, b)],
+                            axis=1)
     key = key.reshape(ROWS, LANES)
     o_ref[...] = key ^ val.reshape(ROWS, LANES) if kv else key
 

@@ -39,7 +39,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lsdradixsort_tpu.kernels.tile_sort import ce_stage_reshape
+from lsdradixsort_tpu.kernels.tile_sort import (ce_stage_reshape,
+                                                use_reshape_ce)
 
 LANES = 128
 KWAY = 8              # fan-in per merge pass
@@ -366,7 +367,7 @@ def _merge_compute(xs, tab_ref, trow, *, bufrows: int, blk_rows: int,
             desc = jnp.zeros((bufrows, LANES), jnp.bool_)
         for j in range(size_bits - 1, -1, -1):
             dist = 1 << j
-            if dist >= 8 * LANES and ce == "reshape":
+            if use_reshape_ce(ce, dist):
                 key, vals = ce_stage_reshape(
                     key, vals if vals else None, dist // LANES,
                     size_bits - j - 1 if level < 2 else None, bufrows)

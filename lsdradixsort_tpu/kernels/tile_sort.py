@@ -45,6 +45,20 @@ def _as_val_list(val):
     return [val], True
 
 
+# ce='auto' policy: the 2026-08-19 on-chip stage probe (exp/
+# probe_ce_reshape.py) has reshape-halves winning at rd=8 (53 vs 95
+# ps/elem/stage keys) through rd=64 (47 vs 208 kv), and roll winning at
+# rd=1024 (47 vs 51 keys, 54 vs 66 kv) — pick per stage by distance.
+AUTO_RESHAPE_MAX_DIST = 64 * LANES
+
+
+def use_reshape_ce(ce: str, dist: int) -> bool:
+    """Static per-stage choice of the half-split CE formulation."""
+    return dist >= 8 * LANES and (
+        ce == "reshape"
+        or (ce == "auto" and dist <= AUTO_RESHAPE_MAX_DIST))
+
+
 def ce_stage_reshape(key, val, rd: int, desc_bit: int | None, rows: int,
                      compare_val: bool = True):
     """One compare-exchange stage at row distance rd (rd >= 8, a whole
@@ -104,7 +118,7 @@ def bitonic_network(key, val, rows: int, compare_val: bool = True,
     for kph in range(1, nbits + 1):
         for j in range(kph - 1, -1, -1):
             dist = 1 << j
-            if dist >= 8 * LANES and ce == "reshape":
+            if use_reshape_ce(ce, dist):
                 key, vals = ce_stage_reshape(
                     key, vals, dist // LANES,
                     kph - 1 - j if kph < nbits else None, rows,
