@@ -86,7 +86,7 @@ def run(kern, rd, kv, label):
           f"{per_stage_ps:6.1f} ps/elem/stage", flush=True)
 
 
-for rd in (8, 64, 1024):
+for rd in (8, 64, 128, 256, 512, 1024):
     run(_roll_kernel, rd, False, "roll keys")
     run(_reshape_kernel, rd, False, "reshape keys")
     run(_roll_kernel, rd, True, "roll kv")

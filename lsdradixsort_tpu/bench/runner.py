@@ -54,8 +54,25 @@ class Record:
         return s
 
 
+# --budget deadline, enforced at this single choke point: once exceeded,
+# remaining configs are SKIPPED LOUDLY (printed + recorded in the report's
+# "skipped" list — a silent cap would read as full coverage; VERDICT r2)
+_DEADLINE: float | None = None
+_SKIPPED: list[dict] = []
+
+
+def set_budget(seconds: float | None) -> None:
+    global _DEADLINE
+    _DEADLINE = None if seconds is None else time.time() + seconds
+    _SKIPPED.clear()
+
+
 def _bench(suite, config, fn, args, n, bytes_moved, host_fn=None,
-           host_args=None, verify=None, iters=5) -> Record:
+           host_args=None, verify=None, iters=5) -> Record | None:
+    if _DEADLINE is not None and time.time() > _DEADLINE:
+        _SKIPPED.append({"suite": suite, "config": config})
+        print(f"[{suite}] {config} : SKIPPED (budget exhausted)", flush=True)
+        return None
     rl = roofline.detect()
     t = time_fn(fn, *args, iters=iters)
     rec = Record(
@@ -582,6 +599,8 @@ def run_suite(name: str, n_log2: int = 24, verify: bool = False,
     for s in names:
         try:
             for rec in SUITES[s](n_log2, verify, sweep):
+                if rec is None:          # budget-skipped config
+                    continue
                 print(rec.line(), flush=True)
                 records.append(rec)
         except Exception as e:
@@ -601,7 +620,18 @@ def main() -> None:
                    help="sweep block sizes / digit widths like the reference")
     p.add_argument("--out", type=str, default=None,
                    help="write <out>.json and <out>.md reports")
+    p.add_argument("--budget", type=float, default=None,
+                   help="wall-clock budget in seconds; configs past the "
+                        "deadline are skipped loudly and listed in the "
+                        "report")
+    p.add_argument("--no-cache", action="store_true",
+                   help="disable the persistent XLA compilation cache")
     args = p.parse_args()
+    if not args.no_cache:
+        from lsdradixsort_tpu.core.cache import enable_persistent_cache
+        d = enable_persistent_cache()
+        print(f"# compilation cache: {d}")
+    set_budget(args.budget)
     rl = roofline.detect()
     print(f"# device: {rl.device_kind}, HBM roofline {rl.hbm_gbps} GB/s "
           f"(measured ceiling; spec {rl.spec_gbps})")
@@ -609,7 +639,10 @@ def main() -> None:
     if args.out:
         with open(args.out + ".json", "w") as f:
             json.dump({"records": [dataclasses.asdict(r) for r in records],
-                       "failed_suites": failed}, f, indent=1)
+                       "failed_suites": failed,
+                       "skipped": _SKIPPED,
+                       "session": time.strftime("%Y-%m-%d %H:%M")}, f,
+                      indent=1)
         with open(args.out + ".md", "w") as f:
             f.write(f"# Benchmark report — {rl.device_kind}, "
                     f"{time.strftime('%Y-%m-%d')}\n\n")

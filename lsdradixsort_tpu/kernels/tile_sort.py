@@ -51,9 +51,19 @@ def _as_val_list(val):
 # rd=1024 (47 vs 51 keys, 54 vs 66 kv) — pick per stage by distance.
 AUTO_RESHAPE_MAX_DIST = 64 * LANES
 
+CE_MODES = ("roll", "reshape", "auto")
+
 
 def use_reshape_ce(ce: str, dist: int) -> bool:
-    """Static per-stage choice of the half-split CE formulation."""
+    """Static per-stage choice of the half-split CE formulation.
+
+    ce must be one of CE_MODES: 'roll' (rotation-based pair fetch),
+    'reshape' (half-split view for every row stage), or 'auto' (reshape
+    for 8*LANES <= dist <= AUTO_RESHAPE_MAX_DIST, roll elsewhere — the
+    measured per-distance winner).
+    """
+    if ce not in CE_MODES:
+        raise ValueError(f"ce={ce!r}: pick from {CE_MODES}")
     return dist >= 8 * LANES and (
         ce == "reshape"
         or (ce == "auto" and dist <= AUTO_RESHAPE_MAX_DIST))
@@ -106,8 +116,11 @@ def bitonic_network(key, val, rows: int, compare_val: bool = True,
     compare_val (pass unique values for stability). seg_elems limits the
     network to sorting each seg_elems-sized row-major segment
     independently (the segmented form used by compaction / bucket sorts).
-    ce='reshape' runs row stages (dist >= 1024) through the half-split
-    formulation.
+    ce selects the compare-exchange formulation per stage: 'roll'
+    (rotation pair fetch, default), 'reshape' (half-split view for every
+    row stage, dist >= 1024), or 'auto' (reshape only for 8*LANES <= dist
+    <= AUTO_RESHAPE_MAX_DIST where the on-chip probe has it winning, roll
+    elsewhere).
     """
     vals, single = _as_val_list(val)
     n = rows * LANES

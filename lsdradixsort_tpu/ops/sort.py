@@ -182,11 +182,15 @@ def merge_sort_multi(keys: jax.Array, values, tile_log2: int = 15,
 
     Padding contract: inputs whose length is not a multiple of the tile
     are padded with (key, val0) = (0xFFFFFFFF, 0xFFFFFFFF) sentinel rows,
-    which sort last and are sliced off. This is exact when values[0] is
-    unique (e.g. positions, or join's tag|position packing) or when there
-    is only one payload stream (sentinel-equal rows are then
-    indistinguishable); with >= 2 payloads a real row equal to the
-    sentinel pair could swap with padding — callers pass unique val0.
+    which sort last and are sliced off. This is exact when values[0] never
+    equals 0xFFFFFFFF on a 0xFFFFFFFF key (guaranteed when val0 is
+    positions or join's tag|position packing) or when there is only one
+    payload stream (sentinel-equal rows are then indistinguishable). With
+    >= 2 payloads a real row EQUAL to the sentinel pair would be
+    interchangeable with padding and could lose its riding payloads — that
+    case is detected in-graph (one vector compare) and routed to a
+    guaranteed-correct 3-key XLA sort with an injected unique position
+    tiebreak (lax.cond), so the result is exact for every input.
 
     Skew fallback: any pass whose sample tables overflow the VMEM buffer
     runs jax.lax.sort (num_keys=2) for that pass instead (lax.cond).
@@ -201,27 +205,44 @@ def merge_sort_multi(keys: jax.Array, values, tile_log2: int = 15,
     n = keys.shape[0]
     tile = 1 << tile_log2
     npad = tile * (1 << max(0, (-(-n // tile) - 1).bit_length()))
-    if npad != n:
-        pad = jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)
-        keys = jnp.concatenate([keys, pad])
-        values = [jnp.concatenate([v, pad]) for v in values]
-    x, vs = sort_tiles_multi(keys, values, tile_rows=tile // 128, ce=ce)
-    run = tile
-    while run < npad:
-        buf = M.pass_buf_elems(run, max_buf)
-        tab, ok = M.merge_pass_tables(x, run, buf, blk)
-        x, vs = jax.lax.cond(
-            ok,
-            lambda x, vs, tab: M.merge_pass_multi(
-                x, vs, tab, run_len=run, buf_elems=buf, blk=blk, ce=ce,
-                pipeline=pipeline),
-            lambda x, vs, tab: (lambda out: (out[0], list(out[1:])))(
-                jax.lax.sort((x, *vs), num_keys=2, is_stable=False)),
-            x, vs, tab)
-        run *= M.KWAY
-    if npad != n:
-        x, vs = x[:n], [v[:n] for v in vs]
-    return x, vs
+
+    def _merge_path(keys, values):
+        if npad != n:
+            pad = jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)
+            keys = jnp.concatenate([keys, pad])
+            values = [jnp.concatenate([v, pad]) for v in values]
+        x, vs = sort_tiles_multi(keys, values, tile_rows=tile // 128, ce=ce)
+        run = tile
+        while run < npad:
+            buf = M.pass_buf_elems(run, max_buf)
+            tab, ok = M.merge_pass_tables(x, run, buf, blk)
+            x, vs = jax.lax.cond(
+                ok,
+                lambda x, vs, tab, run=run, buf=buf: M.merge_pass_multi(
+                    x, vs, tab, run_len=run, buf_elems=buf, blk=blk, ce=ce,
+                    pipeline=pipeline),
+                lambda x, vs, tab: (lambda out: (out[0], list(out[1:])))(
+                    jax.lax.sort((x, *vs), num_keys=2, is_stable=False)),
+                x, vs, tab)
+            run *= M.KWAY
+        if npad != n:
+            x, vs = x[:n], [v[:n] for v in vs]
+        return x, vs
+
+    if npad != n and len(values) >= 2:
+        # a real (0xFFFFFFFF, 0xFFFFFFFF) row would be indistinguishable
+        # from the sentinel padding — take the pad-free exact path instead
+        collide = jnp.any((keys == jnp.uint32(0xFFFFFFFF))
+                          & (values[0] == jnp.uint32(0xFFFFFFFF)))
+
+        def _exact_path(keys, values):
+            iota = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
+            out = jax.lax.sort((keys, values[0], iota, *values[1:]),
+                               num_keys=3, is_stable=False)
+            return out[0], [out[1], *out[3:]]
+
+        return jax.lax.cond(collide, _exact_path, _merge_path, keys, values)
+    return _merge_path(keys, values)
 
 
 @functools.partial(jax.jit, static_argnames=("strategy", "r", "block_size",

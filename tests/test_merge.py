@@ -97,6 +97,33 @@ def test_merge_sort_multi_op(rng, n):
     np.testing.assert_array_equal(np.asarray(s1), v1[want])
 
 
+def test_merge_sort_multi_sentinel_collision(rng):
+    # contract-violating case: ragged n, >= 2 payloads, and REAL rows equal
+    # to the (0xFFFFFFFF, 0xFFFFFFFF) padding sentinel pair. The in-graph
+    # collision guard must route to the exact pad-free path so the riding
+    # payloads of those rows survive (without it they are interchangeable
+    # with padding and their v1 data can be lost).
+    from lsdradixsort_tpu.ops.sort import merge_sort_multi
+    n = (1 << 13) - 100                              # ragged -> padding
+    k = rng.integers(0, 50, n, dtype=np.uint32)
+    v0 = np.arange(n, dtype=np.uint32)
+    v1 = rng.integers(0, 2**32, n, dtype=np.uint32)
+    hot = rng.choice(n, 5, replace=False)
+    k[hot] = 0xFFFFFFFF
+    v0[hot] = 0xFFFFFFFF                             # == sentinel pair
+    sk, (s0, s1) = merge_sort_multi(
+        jnp.asarray(k), [jnp.asarray(v0), jnp.asarray(v1)],
+        tile_log2=TILE_LOG, max_buf=MAXBUF, blk=BLK)
+    want = np.lexsort((v0, k))
+    np.testing.assert_array_equal(np.asarray(sk), k[want])
+    np.testing.assert_array_equal(np.asarray(s0), v0[want])
+    # the 5 colliding rows tie on (key, val0); their v1 values must all
+    # survive (order within the tie group is by original position)
+    np.testing.assert_array_equal(np.asarray(s1)[:-5], v1[want][:-5])
+    np.testing.assert_array_equal(np.asarray(s1)[-5:],
+                                  v1[np.sort(hot)])
+
+
 def test_multi_chunk_pass(rng):
     # 8 runs of 8192 with buf 8192 -> many chunks per group
     n, L = 1 << 16, 1 << 13
