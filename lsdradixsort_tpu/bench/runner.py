@@ -158,6 +158,27 @@ def suite_sort(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
     out.append(_bench("sort/kv_merge", {"n": n}, fmr, (keys,), n,
                       bytes_moved=16 * n, verify=vmr))
     if sweep:
+        # 64-bit keys: single-chain (hi, lo, pos) ncmp=3 engine vs the
+        # two-pass LSD spelling vs XLA (ROADMAP §8 decision record)
+        from lsdradixsort_tpu.ops.sort import sort64_with_ranks
+        hi64 = datagen.random_keys(n, seed=11)
+        lo64 = datagen.random_keys(n, seed=12)
+        for strat in ("merge", "merge2", "xla"):
+            f64 = jax.jit(lambda h, l, s=strat: sort64_with_ranks(
+                h, l, strategy=s))
+            v64 = None
+            if verify:
+                h_np, l_np = np.asarray(hi64), np.asarray(lo64)
+                w64 = np.argsort(h_np.astype(np.uint64) << np.uint64(32)
+                                 | l_np, kind="stable")
+                def v64(f=f64, h_np=h_np, l_np=l_np, w64=w64):
+                    sh, sl, sp = f(hi64, lo64)
+                    check_arrays(sh, h_np[w64])
+                    check_arrays(sl, l_np[w64])
+                    check_arrays(sp, w64.astype(np.uint32))
+            out.append(_bench(f"sort/64bit_{strat}", {"n": n}, f64,
+                              (hi64, lo64), n, bytes_moved=24 * n,
+                              verify=v64))
         # the composed LSD radix pipeline (histogram -> scans -> scatter,
         # the reference's pass structure) — correctness scaffold; XLA's
         # scatter keeps it off the fast path (ROADMAP.md §1)

@@ -40,6 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lsdradixsort_tpu.kernels.tile_sort import (ce_stage_reshape,
+                                                ce_swap_mask,
                                                 use_reshape_ce)
 
 LANES = 128
@@ -72,10 +73,13 @@ def pass_spc(run_len: int, buf_elems: int, blk: int) -> int:
 # ---------------------------------------------------------------------------
 
 def merge_pass_tables(keys: jax.Array, run_len: int, buf_elems: int,
-                      blk: int = DEF_BLK):
+                      blk: int = DEF_BLK, keys2: jax.Array | None = None):
     """Scalar tables for one merge pass (runs of `run_len` -> KWAY*run_len).
 
     keys: (n,) uint32 sorted in runs of run_len; n % run_len == 0.
+    keys2: optional second compared plane — runs are then sorted by the
+    PAIR (keys, keys2) and chunk boundaries split ties on the pair (the
+    64-bit single-chain sort: keys=hi, keys2=lo, merged with ncmp=3).
     Returns (tables (padded_chunks, NCOLS) int32, ok) where ok is a traced
     bool — False means some chunk would overflow the VMEM buffer (extreme
     skew) and the caller must take the fallback path.
@@ -103,8 +107,17 @@ def merge_pass_tables(keys: jax.Array, run_len: int, buf_elems: int,
     blk_i = jnp.arange(S, dtype=jnp.uint32)[None, :]
     aux = jnp.broadcast_to(((run_in_g << 16) | blk_i).reshape(1, KWAY * S),
                            (ngroups, KWAY * S))
-    sk, sa = jax.lax.sort((gsamp, aux), dimension=1, num_keys=2,
-                          is_stable=False)
+    if keys2 is not None:
+        samp2 = keys2[::blk].reshape(nruns, S)
+        if pad_runs:
+            samp2 = jnp.concatenate(
+                [samp2, jnp.full((pad_runs, S), 0xFFFFFFFF, jnp.uint32)], 0)
+        gsamp2 = samp2.reshape(ngroups, KWAY * S)
+        sk, sk2, sa = jax.lax.sort((gsamp, gsamp2, aux), dimension=1,
+                                   num_keys=3, is_stable=False)
+    else:
+        sk, sa = jax.lax.sort((gsamp, aux), dimension=1, num_keys=2,
+                              is_stable=False)
 
     irun = jnp.arange(KWAY, dtype=jnp.int32)[None, None, :]
     gidx = jnp.arange(ngroups, dtype=jnp.int32)[:, None, None]
@@ -120,6 +133,7 @@ def merge_pass_tables(keys: jax.Array, run_len: int, buf_elems: int,
                            KWAY * S - 1)                   # (nch-1,)
         p_mid = cum[:, tpos - 1, :]                        # (ng, nch-1, K)
         bkey = sk[:, tpos][:, :, None]                     # (ng, nch-1, 1)
+        bkey2 = sk2[:, tpos][:, :, None] if keys2 is not None else None
         baux = sa[:, tpos]
         brun = (baux >> 16).astype(jnp.int32)[:, :, None]
         bblk = (baux & 0xFFFF).astype(jnp.int32)[:, :, None]
@@ -134,7 +148,12 @@ def merge_pass_tables(keys: jax.Array, run_len: int, buf_elems: int,
             live = lo_ < hi_
             mid = (lo_ + hi_) >> 1
             el = jnp.take(keys, run_base + mid, mode="clip")
-            pred = live & ((el < bkey) | ((el == bkey) & (irun < brun)))
+            if keys2 is not None:
+                el2 = jnp.take(keys2, run_base + mid, mode="clip")
+                tie = (el2 < bkey2) | ((el2 == bkey2) & (irun < brun))
+            else:
+                tie = irun < brun
+            pred = live & ((el < bkey) | ((el == bkey) & tie))
             lo_ = jnp.where(pred, mid + 1, lo_)
             hi_ = jnp.where(live & ~pred, mid, hi_)
             return lo_, hi_
@@ -244,6 +263,12 @@ def _load_windows(tab_ref, trow, in_hbms, bufs, sems, sbase, *, qrows: int,
     at the quarter END, so the +inf pad gap sits between A (ascending) and
     B (descending) — rise, plateau, fall stays bitonic.
 
+    in_hbms is indexed [slot][stream]: the flat kernels bind the same
+    per-stream refs to every slot (all windows live in one array); the
+    runs-based kernel (merge_pass_runs) binds slot s to run s's own HBM
+    buffers, which is what lets a chip-scale pass read its 8 input runs
+    from 8 separately-freeable buffers.
+
     action: "both" = start+wait inline (the serial path), "start" = issue
     only, "wait" = re-derive identical descriptors and wait them. Deferred
     waits are safe by byte conservation: every started DMA is waited on the
@@ -261,9 +286,9 @@ def _load_windows(tab_ref, trow, in_hbms, bufs, sems, sbase, *, qrows: int,
                 sz = 1 << j
 
                 @pl.when((wblk & sz) != 0)
-                def _(src=src, wblk=wblk, j=j, sz=sz, q=q):
+                def _(src=src, wblk=wblk, j=j, sz=sz, q=q, s=s):
                     pref = ((wblk >> (j + 1)) << (j + 1)) * blk_rows
-                    for gi, (hbm, buf) in enumerate(zip(in_hbms, bufs)):
+                    for gi, (hbm, buf) in enumerate(zip(in_hbms[s], bufs)):
                         dma = pltpu.make_async_copy(
                             hbm.at[pl.ds(src + pref, sz * blk_rows), :],
                             buf.at[pl.ds(q * qrows + pref,
@@ -277,10 +302,10 @@ def _load_windows(tab_ref, trow, in_hbms, bufs, sems, sbase, *, qrows: int,
             # outstanding hide the per-descriptor issue cost on the
             # serial path
 
-            def mkb(b, gi, src=src, wblk=wblk, q=q):
+            def mkb(b, gi, src=src, wblk=wblk, q=q, s=s):
                 dst = q * qrows + qrows - (b + 1) * blk_rows
                 return pltpu.make_async_copy(
-                    in_hbms[gi].at[pl.ds(src + b * blk_rows, blk_rows), :],
+                    in_hbms[s][gi].at[pl.ds(src + b * blk_rows, blk_rows), :],
                     bufs[gi].at[pl.ds(dst, blk_rows), :],
                     sems.at[sbase + (ns * b + gi) % pool])
 
@@ -339,11 +364,14 @@ def _emit_rows(tab_ref, trow, bufs, out_hbms, sems, sbase, *, ebits: int,
 
 
 def _merge_compute(xs, tab_ref, trow, *, bufrows: int, blk_rows: int,
-                   ce: str):
+                   ce: str, ncmp: int | None = None):
     """The in-VMEM merge: flip B regions descending, run the half-cleaner
     cascade (quarters -> halves -> full), roll right to the 128-alignment
-    boundary. xs = [keys] + payload streams; xs[1] (if present) is the
-    comparison tiebreak, further streams ride uncompared."""
+    boundary. xs = [keys] + payload streams; the first ncmp-1 payloads
+    (default 1) are comparison tiebreaks, further streams ride uncompared
+    (ncmp=3 is the 64-bit (hi, lo, pos) single-chain merge)."""
+    if ncmp is None:
+        ncmp = min(2, len(xs))
     qrows = bufrows // 4
     row = jax.lax.broadcasted_iota(jnp.int32, (bufrows, LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (bufrows, LANES), 1)
@@ -370,7 +398,8 @@ def _merge_compute(xs, tab_ref, trow, *, bufrows: int, blk_rows: int,
             if use_reshape_ce(ce, dist):
                 key, vals = ce_stage_reshape(
                     key, vals if vals else None, dist // LANES,
-                    size_bits - j - 1 if level < 2 else None, bufrows)
+                    size_bits - j - 1 if level < 2 else None, bufrows,
+                    ncmp=ncmp)
                 vals = [] if vals is None else vals
                 continue
             if dist < LANES:
@@ -387,21 +416,7 @@ def _merge_compute(xs, tab_ref, trow, *, bufrows: int, blk_rows: int,
                 pvs = [jnp.where(is_lower, pltpu.roll(v, bufrows - rd, 0),
                                  pltpu.roll(v, rd, 0)) for v in vals]
             want_small = is_lower ^ desc
-            if len(vals) >= 2:
-                # riding streams beyond the compared payload: the two pair
-                # halves must agree on exact (key, val0) ties or a tie
-                # would duplicate one riding value and drop another. Never
-                # swap on ties: lower takes iff partner strictly smaller,
-                # upper takes iff partner strictly greater.
-                keq = pk == key
-                lt = (pk < key) | (keq & (pvs[0] < vals[0]))
-                gt = ~lt & ~(keq & (pvs[0] == vals[0]))
-                swap = jnp.where(want_small, lt, gt)
-            else:
-                take_p = pk < key
-                if vals:
-                    take_p = take_p | ((pk == key) & (pvs[0] < vals[0]))
-                swap = take_p == want_small
+            swap = ce_swap_mask(key, vals, pk, pvs, want_small, ncmp)
             key = jnp.where(swap, pk, key)
             vals = [jnp.where(swap, pv, v) for pv, v in zip(pvs, vals)]
     xs = [(key ^ bias).astype(jnp.uint32)] + \
@@ -416,29 +431,40 @@ def _merge_compute(xs, tab_ref, trow, *, bufrows: int, blk_rows: int,
 
 
 def _merge_kernel_multi(tab_ref, *refs, bufrows: int, blk_rows: int,
-                        in_rows: int, ce: str, ns: int):
+                        in_rows: int, ce: str, ns: int, nslots: int = 0,
+                        out_rows: int | None = None,
+                        ncmp: int | None = None):
     """Serial multi-stream kernel: ns = 1 + #payload streams (ns=1 is the
     keys-only sort). The FIRST payload acts as the comparison tiebreak, so
     when it is unique and ordered consistently with run order (e.g. the
     original row index, as in sort_with_ranks) the merge is a stable key
     sort; further payloads ride the exchanges uncompared. refs layout:
-    in_hbms[ns], out_hbms[ns], bufs[ns], sems (pool of ns*DEPTH)."""
-    in_hbms = refs[:ns]
-    out_hbms = refs[ns:2 * ns]
-    bufs = list(refs[2 * ns:3 * ns])
-    sems = refs[3 * ns]
+    in_hbms[ns] (or in_hbms[nslots*ns] when nslots > 0: slot-major lists
+    of per-run buffers, the merge_pass_runs form), out_hbms[ns], bufs[ns],
+    sems (pool of ns*DEPTH)."""
+    if nslots:
+        in_hbms = [refs[s * ns:(s + 1) * ns] for s in range(nslots)]
+        in_hbms += [in_hbms[0]] * (KWAY - nslots)
+        refs = refs[nslots * ns:]
+    else:
+        in_hbms = [refs[:ns]] * KWAY      # same refs for every slot
+        refs = refs[ns:]
+    out_hbms = refs[:ns]
+    bufs = list(refs[ns:2 * ns])
+    sems = refs[2 * ns]
     trow = pl.program_id(0) % 8
     qrows = bufrows // 4
     max_ablk = min(qrows, in_rows) // blk_rows
     abits = max_ablk.bit_length() - 1 if max_ablk else 0
-    ebits = min(bufrows, in_rows).bit_length() - 1
+    ebits = min(bufrows, out_rows or in_rows).bit_length() - 1
 
     for buf in bufs:
         buf[...] = jnp.full((bufrows, LANES), 0xFFFFFFFF, jnp.uint32)
     _load_windows(tab_ref, trow, in_hbms, bufs, sems, 0, qrows=qrows,
                   blk_rows=blk_rows, abits=abits, action="both")
     xs = _merge_compute([buf[...] for buf in bufs], tab_ref, trow,
-                        bufrows=bufrows, blk_rows=blk_rows, ce=ce)
+                        bufrows=bufrows, blk_rows=blk_rows, ce=ce,
+                        ncmp=ncmp)
     for buf, x in zip(bufs, xs):
         buf[...] = x
     _emit_rows(tab_ref, trow, bufs, out_hbms, sems, 0, ebits=ebits,
@@ -447,7 +473,9 @@ def _merge_kernel_multi(tab_ref, *refs, bufrows: int, blk_rows: int,
 
 def _merge_kernel_multi_pipe(tabc_ref, tabn_ref, *refs, bufrows: int,
                              blk_rows: int, in_rows: int, ce: str, ns: int,
-                             emit_overlap: bool = False):
+                             emit_overlap: bool = False, nslots: int = 0,
+                             out_rows: int | None = None,
+                             ncmp: int | None = None):
     """Pipelined variant: chunk i+1's window DMAs land in a STAGING buffer
     set while chunk i's merge cascade runs on the COMPUTE set, hiding the
     window-load transfer time (~10-20% of the serial pass) behind compute.
@@ -472,22 +500,28 @@ def _merge_kernel_multi_pipe(tabc_ref, tabn_ref, *refs, bufrows: int,
     sems (pool of 2*ns*DEPTH)."""
     if emit_overlap:
         tabp_ref, refs = refs[0], refs[1:]
-    in_hbms = refs[:ns]
-    out_hbms = refs[ns:2 * ns]
-    comp = list(refs[2 * ns:3 * ns])
-    stage = list(refs[3 * ns:4 * ns])
-    if emit_overlap:
-        eb = list(refs[4 * ns:5 * ns])
-        sems = refs[5 * ns]
+    if nslots:
+        in_hbms = [refs[s * ns:(s + 1) * ns] for s in range(nslots)]
+        in_hbms += [in_hbms[0]] * (KWAY - nslots)
+        refs = refs[nslots * ns:]
     else:
+        in_hbms = [refs[:ns]] * KWAY      # same refs for every slot
+        refs = refs[ns:]
+    out_hbms = refs[:ns]
+    comp = list(refs[ns:2 * ns])
+    stage = list(refs[2 * ns:3 * ns])
+    if emit_overlap:
+        eb = list(refs[3 * ns:4 * ns])
         sems = refs[4 * ns]
+    else:
+        sems = refs[3 * ns]
     i = pl.program_id(0)
     trow = i % 8
     ntrow = (i + 1) % 8
     qrows = bufrows // 4
     max_ablk = min(qrows, in_rows) // blk_rows
     abits = max_ablk.bit_length() - 1 if max_ablk else 0
-    ebits = min(bufrows, in_rows).bit_length() - 1
+    ebits = min(bufrows, out_rows or in_rows).bit_length() - 1
     pool = ns * DEPTH
 
     @pl.when(i == 0)
@@ -507,7 +541,8 @@ def _merge_kernel_multi_pipe(tabc_ref, tabn_ref, *refs, bufrows: int,
                   blk_rows=blk_rows, abits=abits, action="start")
 
     xs = _merge_compute([cb[...] for cb in comp], tabc_ref, trow,
-                        bufrows=bufrows, blk_rows=blk_rows, ce=ce)
+                        bufrows=bufrows, blk_rows=blk_rows, ce=ce,
+                        ncmp=ncmp)
     for cb, x in zip(comp, xs):
         cb[...] = x
     if not emit_overlap:
@@ -533,11 +568,11 @@ def _merge_kernel_multi_pipe(tabc_ref, tabn_ref, *refs, bufrows: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("run_len", "buf_elems", "blk",
-                                    "interpret", "ce", "pipeline"))
+                                    "interpret", "ce", "pipeline", "ncmp"))
 def merge_pass_multi(keys: jax.Array, vals, tables: jax.Array,
                      run_len: int, buf_elems: int, blk: int = DEF_BLK,
                      interpret: bool | None = None, ce: str = "roll",
-                     pipeline: bool = True):
+                     pipeline: bool = True, ncmp: int | None = None):
     """One KWAY merge pass with any number of payload streams.
 
     vals: tuple/list of (n,) uint32 arrays. The FIRST is the comparison
@@ -569,7 +604,7 @@ def merge_pass_multi(keys: jax.Array, vals, tables: jax.Array,
         full = pipeline == "full"
         kern = functools.partial(_merge_kernel_multi_pipe, bufrows=bufrows,
                                  blk_rows=blk // LANES, in_rows=n // LANES,
-                                 ce=ce, ns=ns, emit_overlap=full)
+                                 ce=ce, ns=ns, emit_overlap=full, ncmp=ncmp)
         tabn_spec = pl.BlockSpec((8, NCOLS), lambda i: ((i + 1) // 8, 0),
                                  memory_space=pltpu.SMEM)
         tab_specs, tabs = [tab_spec, tabn_spec], (tables, tables)
@@ -584,7 +619,7 @@ def merge_pass_multi(keys: jax.Array, vals, tables: jax.Array,
     else:
         kern = functools.partial(_merge_kernel_multi, bufrows=bufrows,
                                  blk_rows=blk // LANES, in_rows=n // LANES,
-                                 ce=ce, ns=ns)
+                                 ce=ce, ns=ns, ncmp=ncmp)
         tab_specs, tabs = [tab_spec], (tables,)
         nbuf, sem_pool = ns, ns * DEPTH
     shape = jax.ShapeDtypeStruct((n // LANES, LANES), jnp.uint32)
@@ -603,6 +638,188 @@ def merge_pass_multi(keys: jax.Array, vals, tables: jax.Array,
     )(*tabs, keys.reshape(n // LANES, LANES),
       *[v.reshape(n // LANES, LANES) for v in vals])
     return outs[0].reshape(n), [o.reshape(n) for o in outs[1:]]
+
+
+# ---------------------------------------------------------------------------
+# Chip-scale chunked pass: runs in separate HBM buffers, exact-rank chunks
+# ---------------------------------------------------------------------------
+
+def merge_tables_exact_runs(run_keys, chunk_elems: int, blk: int = DEF_BLK):
+    """EXACT-rank merge tables for S separately-buffered sorted runs.
+
+    Unlike merge_pass_tables (whose chunk boundaries float at sample
+    positions, so chunk sizes are data-dependent), every chunk here is
+    EXACTLY chunk_elems rows: boundary t sits at global sorted rank
+    t*chunk_elems, found by in-graph k-way selection (32-round binary
+    search on the key value + tie fill in run order). Static chunk sizes
+    are what let the chip-scale sort (ops/bigsort.py) split its final
+    pass into independently-allocated output ranges and trim consumed
+    run prefixes between them — the memory plan that fits a 2^30-row kv
+    sort on one 16 GB chip.
+
+    Tie order: boundary ranks count elements by (key, run, in-run pos),
+    which matches the merge kernel's (key, val0) order exactly when val0
+    is the original global position and runs are position-ordered
+    segments of the input (the bigsort contract).
+
+    run_keys: list of S (L,) u32 sorted arrays, S <= KWAY, equal L,
+    L % blk == 0. chunk_elems: power of two, multiple of max(blk, 128).
+
+    Returns (tab, max_pair_blocks): tab is ((nch + 8), NCOLS) i32 in the
+    merge-kernel layout, except col s is the src row WITHIN run s's own
+    buffer (static slot s <-> run s pairing) and out_row0 (col 18) is
+    ABSOLUTE (merge_pass_runs re-bases it per chunk range).
+    max_pair_blocks (traced i32) is the largest quarter load
+    wblk[2q]+wblk[2q+1] over all chunks — callers check it against the
+    kernel quarter capacity buf_elems/4/blk and take a fallback for the
+    (skewed) chunks that would overflow.
+    """
+    S = len(run_keys)
+    L = run_keys[0].shape[0]
+    C = chunk_elems
+    n = S * L
+    nch = n // C
+    blk_rows = blk // LANES
+
+    # --- exact boundary ranks by k-way selection -------------------------
+    g = jnp.arange(1, nch, dtype=jnp.uint32) * jnp.uint32(C)   # (nch-1,)
+
+    def body(_, state):
+        vlo, vhi = state
+        live = vlo < vhi
+        mid = vlo + ((vhi - vlo) >> 1)
+        cnt = jnp.zeros_like(g)
+        for kr in run_keys:
+            cnt = cnt + jnp.searchsorted(kr, mid,
+                                         side="right").astype(jnp.uint32)
+        pred = cnt >= g + 1
+        vhi = jnp.where(live & pred, mid, vhi)
+        vlo = jnp.where(live & ~pred, mid + 1, vlo)
+        return vlo, vhi
+
+    vstar, _ = jax.lax.fori_loop(
+        0, 32, body, (jnp.zeros_like(g),
+                      jnp.full_like(g, 0xFFFFFFFF)))  # key of rank-g elem
+    lo = jnp.stack([jnp.searchsorted(kr, vstar, side="left")
+                    for kr in run_keys], axis=1).astype(jnp.int32)
+    hi = jnp.stack([jnp.searchsorted(kr, vstar, side="right")
+                    for kr in run_keys], axis=1).astype(jnp.int32)
+    eq = hi - lo
+    need = g.astype(jnp.int32) - jnp.sum(lo, axis=1)       # elems == vstar
+    cum = jnp.cumsum(eq, axis=1) - eq                      # fill run-by-run
+    take = jnp.clip(need[:, None] - cum, 0, eq)
+    rank_mid = lo + take                                   # (nch-1, S)
+
+    rank = jnp.concatenate([
+        jnp.zeros((1, S), jnp.int32), rank_mid,
+        jnp.full((1, S), L, jnp.int32)], axis=0)           # (nch+1, S)
+
+    # --- block-aligned windows + exact in-buffer offsets -----------------
+    wstart = rank[:nch] // blk
+    wend = jnp.maximum((rank[1:] + blk - 1) // blk, wstart)
+    wblk = wend - wstart                                   # (nch, S)
+    pre = jnp.sum(rank[:nch] - wstart * blk, axis=1)       # exact
+    if S < KWAY:
+        z = jnp.zeros((nch, KWAY - S), jnp.int32)
+        wstart = jnp.concatenate([wstart, z], axis=1)
+        wblk = jnp.concatenate([wblk, z], axis=1)
+    max_pair = jnp.max(wblk[:, 0::2] + wblk[:, 1::2])
+
+    m = (-pre) % LANES
+    tab = jnp.zeros((-(-nch // 8) * 8 + 8, NCOLS), jnp.int32)
+    tab = tab.at[:nch, 0:KWAY].set(wstart * blk_rows)
+    tab = tab.at[:nch, KWAY:2 * KWAY].set(wblk)
+    tab = tab.at[:nch, 16].set(m)
+    tab = tab.at[:nch, 17].set((pre + m) // LANES)
+    tab = tab.at[:nch, 18].set(jnp.arange(nch, dtype=jnp.int32)
+                               * (C // LANES))
+    tab = tab.at[:nch, 19].set(C // LANES)
+    return tab, max_pair
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("chunk0", "nchunks",
+                                    "chunk_elems", "buf_elems", "blk",
+                                    "interpret", "ce", "pipeline", "ncmp"))
+def merge_pass_runs(run_streams, tables: jax.Array, *,
+                    chunk0: int, nchunks: int, chunk_elems: int,
+                    buf_elems: int, blk: int = DEF_BLK,
+                    interpret: bool | None = None, ce: str = "roll",
+                    pipeline: bool = True, ncmp: int | None = None):
+    """One chunk RANGE of a merge pass whose S input runs live in separate
+    HBM buffers (slot s reads run s's own buffer — statically routed DMAs).
+
+    run_streams: list over ns streams of lists over S runs of (L_s,) u32
+    arrays; run lengths may DIFFER (trimmed prefixes), but every stream of
+    run s has the same length. tables: from merge_tables_exact_runs, src
+    rows already adjusted for any trim. Produces chunks
+    [chunk0, chunk0+nchunks) as ns arrays of (nchunks * chunk_elems,) — a
+    16 GB-scale pass emits its output as independently-allocated ranges
+    while earlier ranges' consumed input prefixes are trimmed away
+    (ops/bigsort.py).
+
+    Capacity contract: the caller has checked max_pair_blocks <=
+    buf_elems // 4 // blk for every chunk in the range (overflow chunks
+    take the gather fallback in bigsort).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    ns = len(run_streams)
+    S = len(run_streams[0])
+    L = min(int(r.shape[0]) for r in run_streams[0])
+    C = chunk_elems
+    bufrows = buf_elems // LANES
+    # range slice + re-base out_row0; zero look-ahead rows so the pipelined
+    # kernel's final prefetch starts no DMAs
+    npad = -(-nchunks // 8) * 8
+    tsl = jax.lax.slice(tables, (chunk0, 0), (chunk0 + nchunks, NCOLS))
+    tsl = tsl.at[:, 18].add(-(chunk0 * (C // LANES)))
+    tab = jnp.zeros((npad + 8, NCOLS), jnp.int32).at[:nchunks].set(tsl)
+
+    tab_spec = pl.BlockSpec((8, NCOLS), lambda i: (i // 8, 0),
+                            memory_space=pltpu.SMEM)
+    kw = dict(bufrows=bufrows, blk_rows=blk // LANES, in_rows=L // LANES,
+              ce=ce, ns=ns, nslots=S, out_rows=nchunks * C // LANES,
+              ncmp=ncmp)
+    if pipeline:
+        full = pipeline == "full"
+        kern = functools.partial(_merge_kernel_multi_pipe,
+                                 emit_overlap=full, **kw)
+        tabn_spec = pl.BlockSpec((8, NCOLS), lambda i: ((i + 1) // 8, 0),
+                                 memory_space=pltpu.SMEM)
+        tab_specs, tabs = [tab_spec, tabn_spec], (tab, tab)
+        nbuf, sem_pool = 2 * ns, 2 * ns * DEPTH
+        if full:
+            tabp_spec = pl.BlockSpec(
+                (8, NCOLS), lambda i: ((jnp.maximum(i, 1) - 1) // 8, 0),
+                memory_space=pltpu.SMEM)
+            tab_specs.append(tabp_spec)
+            tabs = tabs + (tab,)
+            nbuf = 3 * ns
+    else:
+        kern = functools.partial(_merge_kernel_multi, **kw)
+        tab_specs, tabs = [tab_spec], (tab,)
+        nbuf, sem_pool = ns, ns * DEPTH
+    ins = []
+    for s in range(S):                    # slot-major, stream-minor
+        for gi in range(ns):
+            r = run_streams[gi][s]
+            ins.append(r.reshape(r.shape[0] // LANES, LANES))
+    shape = jax.ShapeDtypeStruct((nchunks * C // LANES, LANES), jnp.uint32)
+    outs = pl.pallas_call(
+        kern,
+        grid=(npad,),
+        in_specs=tab_specs + [pl.BlockSpec(memory_space=pl.ANY)] * (S * ns),
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * ns,
+        out_shape=[shape] * ns,
+        scratch_shapes=(
+            [pltpu.VMEM((bufrows, LANES), jnp.uint32)] * nbuf
+            + [pltpu.SemaphoreType.DMA((sem_pool,))]),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*tabs, *ins)
+    return [o.reshape(nchunks * C) for o in outs]
 
 
 def merge_pass_kv(keys: jax.Array, vals: jax.Array, tables: jax.Array,

@@ -69,29 +69,56 @@ def use_reshape_ce(ce: str, dist: int) -> bool:
         or (ce == "auto" and dist <= AUTO_RESHAPE_MAX_DIST))
 
 
+def lex_lt_eq(key, vals, pk, pvs, ncmp: int):
+    """Strict lexicographic compare over the first ncmp streams:
+    returns (lt, eq) where lt = (pk, pvs[:ncmp-1]) < (key, vals[:ncmp-1])
+    and eq = full compared-tuple equality. ncmp=1 compares keys only;
+    ncmp=3 is the 64-bit (hi, lo, pos) single-chain compare."""
+    lt = pk < key
+    eq = pk == key
+    for i in range(ncmp - 1):
+        lt = lt | (eq & (pvs[i] < vals[i]))
+        eq = eq & (pvs[i] == vals[i])
+    return lt, eq
+
+
+def ce_swap_mask(key, vals, pk, pvs, want_small, ncmp: int):
+    """The unified compare-exchange decision. Streams beyond the compared
+    prefix ride uncompared; when such riders exist the two pair halves
+    must agree on exact compared-tuple ties or a tie would duplicate one
+    riding value and drop another — never swap on ties (strict compares in
+    the half's preferred direction). With no riders a plain swap is exact
+    (tied rows are then identical and interchangeable)."""
+    lt, eq = lex_lt_eq(key, vals, pk, pvs, ncmp)
+    if len(vals) > ncmp - 1:          # riding streams: never swap on ties
+        gt = ~lt & ~eq
+        return jnp.where(want_small, lt, gt)
+    return lt == want_small
+
+
 def ce_stage_reshape(key, val, rd: int, desc_bit: int | None, rows: int,
-                     compare_val: bool = True):
+                     compare_val: bool = True, ncmp: int | None = None):
     """One compare-exchange stage at row distance rd (rd >= 8, a whole
     number of sublane tiles) via the static (g, 2, rd, LANES) half-split
     view: compare the two halves directly and re-stack — 1 compare + 2
     selects per stream vs the roll formulation's 2 rolls + compare + 2
     selects. desc_bit: bit of the group index whose set value makes the
-    pair descending (None = all ascending). Ties never swap under
-    compare_val=False, matching the roll formulation exactly.
+    pair descending (None = all ascending). Ties never swap (each pair is
+    evaluated once here, so tie consistency is automatic).
 
     val may be a single payload array or a tuple/list of them; the first
-    payload is the comparison tiebreak iff compare_val."""
+    ncmp-1 payloads are comparison tiebreaks (default: 1 iff compare_val).
+    """
     vals, single = _as_val_list(val)
+    if ncmp is None:
+        ncmp = 2 if (compare_val and vals) else 1
     g = rows // (2 * rd)
     k4 = key.reshape(g, 2, rd, LANES)
     a, b = k4[:, 0], k4[:, 1]
     halves = [(v.reshape(g, 2, rd, LANES)[:, 0],
                v.reshape(g, 2, rd, LANES)[:, 1]) for v in vals]
-    if compare_val and vals:
-        av, bv = halves[0]
-        t = (b < a) | ((b == a) & (bv < av))
-    else:
-        t = b < a
+    t, _ = lex_lt_eq(a, [h[0] for h in halves],
+                     b, [h[1] for h in halves], ncmp)
     if desc_bit is not None:
         gi = jax.lax.broadcasted_iota(jnp.int32, (g, rd, LANES), 0)
         t = t ^ (((gi >> desc_bit) & 1) != 0)
@@ -106,7 +133,8 @@ def ce_stage_reshape(key, val, rd: int, desc_bit: int | None, rows: int,
 
 
 def bitonic_network(key, val, rows: int, compare_val: bool = True,
-                    seg_elems: int | None = None, ce: str = "roll"):
+                    seg_elems: int | None = None, ce: str = "roll",
+                    ncmp: int | None = None):
     """In-kernel bitonic sorting network on a (rows, 128) int32 key array
     with an optional riding payload. Usable from any Pallas kernel body.
 
@@ -120,9 +148,13 @@ def bitonic_network(key, val, rows: int, compare_val: bool = True,
     (rotation pair fetch, default), 'reshape' (half-split view for every
     row stage, dist >= 1024), or 'auto' (reshape only for 8*LANES <= dist
     <= AUTO_RESHAPE_MAX_DIST where the on-chip probe has it winning, roll
-    elsewhere).
+    elsewhere). ncmp: number of compared streams (key + first ncmp-1
+    payloads, lexicographic) — ncmp=3 with a unique third stream is the
+    64-bit single-chain (hi, lo, pos) sort; default matches compare_val.
     """
     vals, single = _as_val_list(val)
+    if ncmp is None:
+        ncmp = 2 if (compare_val and vals) else 1
     n = rows * LANES
     seg = seg_elems or n
     flat = (jax.lax.broadcasted_iota(jnp.int32, (rows, LANES), 0) * LANES
@@ -135,7 +167,7 @@ def bitonic_network(key, val, rows: int, compare_val: bool = True,
                 key, vals = ce_stage_reshape(
                     key, vals, dist // LANES,
                     kph - 1 - j if kph < nbits else None, rows,
-                    compare_val)
+                    compare_val, ncmp=ncmp)
                 vals = [] if vals is None else vals
                 continue
             is_lower = (flat & dist) == 0
@@ -155,25 +187,7 @@ def bitonic_network(key, val, rows: int, compare_val: bool = True,
                                pltpu.roll(key, rd, 0))
                 pvs = [jnp.where(is_lower, pltpu.roll(v, rows - rd, 0),
                                  pltpu.roll(v, rd, 0)) for v in vals]
-            if compare_val and len(vals) >= 2:
-                # >= 2 payloads: pair halves must agree on exact
-                # (key, val0) ties or a tie duplicates one riding value
-                # and drops another — never swap on ties (strict compares
-                # in the half's preferred direction)
-                keq = pk == key
-                lt = (pk < key) | (keq & (pvs[0] < vals[0]))
-                gt = ~lt & ~(keq & (pvs[0] == vals[0]))
-                swap = jnp.where(want_small, lt, gt)
-            else:
-                if compare_val and vals:
-                    # lexicographic (key, val); unique vals => consistent
-                    take_p = (pk < key) | ((pk == key) & (pvs[0] < vals[0]))
-                else:
-                    # keys-only / uncompared payloads: callers guarantee
-                    # unique keys when payloads ride (compaction's
-                    # position-composite keys are unique by construction)
-                    take_p = pk < key
-                swap = take_p == want_small
+            swap = ce_swap_mask(key, vals, pk, pvs, want_small, ncmp)
             key = jnp.where(swap, pk, key)
             vals = [jnp.where(swap, pv, v) for pv, v in zip(pvs, vals)]
     if not vals:
@@ -229,9 +243,11 @@ def sort_tiles_kv(keys: jax.Array, values: jax.Array, tile_rows: int = 128,
     return ok.reshape(n), ov.reshape(n)
 
 
-def _bitonic_multi_kernel(*refs, rows: int, nv: int, ce: str):
-    """Sort one (rows, 128) tile by (key, val0) ascending with nv payload
-    streams riding; refs = k_ref, v_refs[nv], ok_ref, ov_refs[nv]."""
+def _bitonic_multi_kernel(*refs, rows: int, nv: int, ce: str,
+                          ncmp: int | None = None):
+    """Sort one (rows, 128) tile by the compared prefix (key + ncmp-1
+    payloads, default (key, val0)) ascending with nv payload streams
+    riding; refs = k_ref, v_refs[nv], ok_ref, ov_refs[nv]."""
     k_ref = refs[0]
     v_refs = refs[1:1 + nv]
     ok_ref = refs[1 + nv]
@@ -240,21 +256,24 @@ def _bitonic_multi_kernel(*refs, rows: int, nv: int, ce: str):
     key = k_ref[...].reshape(rows, LANES).astype(jnp.int32) ^ bias
     vals = [v[...].reshape(rows, LANES).astype(jnp.int32) ^ bias
             for v in v_refs]
-    key, vals = bitonic_network(key, vals, rows, ce=ce)
+    key, vals = bitonic_network(key, vals, rows, ce=ce, ncmp=ncmp)
     ok_ref[...] = (key ^ bias).astype(jnp.uint32).reshape(1, rows, LANES)
     for ov, v in zip(ov_refs, vals):
         ov[...] = (v ^ bias).astype(jnp.uint32).reshape(1, rows, LANES)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tile_rows", "interpret", "ce"))
+                   static_argnames=("tile_rows", "interpret", "ce", "ncmp"))
 def sort_tiles_multi(keys: jax.Array, values, tile_rows: int = 128,
-                     interpret: bool | None = None, ce: str = "roll"):
+                     interpret: bool | None = None, ce: str = "roll",
+                     ncmp: int | None = None):
     """Tile-local sort with any number of riding payload streams.
 
-    values: tuple/list of (n,) uint32. The FIRST is the comparison
-    tiebreak (unique values => stable key sort); the rest ride uncompared
-    — the multi-column analog of sort_tiles_kv. Returns
+    values: tuple/list of (n,) uint32. The first ncmp-1 (default 1) are
+    comparison tiebreaks (lexicographic after the key; a unique last
+    compared stream => stable sort); the rest ride uncompared — the
+    multi-column analog of sort_tiles_kv. ncmp=3 with values
+    (lo, positions) is the 64-bit single-chain tile sort. Returns
     (sorted_keys, [payloads...]).
     """
     n = keys.shape[0]
@@ -268,7 +287,7 @@ def sort_tiles_multi(keys: jax.Array, values, tile_rows: int = 128,
     nv = len(values)
     nt = n // tile
     kern = functools.partial(_bitonic_multi_kernel, rows=tile_rows, nv=nv,
-                             ce=ce)
+                             ce=ce, ncmp=ncmp)
     spec = pl.BlockSpec((1, tile_rows, LANES), lambda i: (i, 0, 0),
                         memory_space=pltpu.VMEM)
     shape = jax.ShapeDtypeStruct((nt, tile_rows, LANES), jnp.uint32)

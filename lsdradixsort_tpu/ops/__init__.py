@@ -15,3 +15,6 @@ from lsdradixsort_tpu.ops.sort import (sort_with_ranks,  # noqa: F401
 from lsdradixsort_tpu.ops.sort import (merge_sort_keys,  # noqa: F401
                                        merge_sort_with_ranks,
                                        merge_sort_multi)
+from lsdradixsort_tpu.ops.bigsort import (sort_kv_chunked,  # noqa: F401
+                                          sort_with_ranks_chunked,
+                                          merge_runs_chunked)

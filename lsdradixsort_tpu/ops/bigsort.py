@@ -1,0 +1,222 @@
+"""Chip-scale chunked sort — the memory plan that fits 2^30 kv rows on one
+16 GB chip (north-star config 1; the reference's flagship 4 GB benchmark,
+TestGPULSDRadixSort at LSDRadixSort.cu:912-1030, lifted to stable kv).
+
+The problem: a merge pass ping-pongs input -> output, so a flat 2^30-row
+kv pass holds 8 GB in + 8 GB out = 16 GB — more than the chip. The plan:
+
+  1. The input arrives as S equal SEGMENTS (chunked columns, the
+     columnar-engine norm). Each segment is stable-kv-sorted on its own
+     (existing single-graph pipeline, segment donated), so at any moment
+     only ~1 segment's pass buffers are live beyond the data itself.
+  2. The final S-way merge runs CHUNKED: exact-rank boundaries (k-way
+     selection, kernels/merge.py merge_tables_exact_runs) make every
+     output chunk exactly chunk_elems rows, so the pass splits into
+     `nranges` independently-allocated output ranges. The Pallas kernel
+     reads the S runs from S separate HBM buffers (statically-routed
+     window DMAs, merge_pass_runs).
+  3. Between ranges, each run's consumed prefix is TRIMMED (donated
+     suffix copy at quarter-run granularity), freeing HBM as output
+     accumulates: peak ~= data + one range + slack instead of 2x data.
+
+Skew safety: chunks whose block windows would overflow the kernel's
+quarter capacity (possible only when >~4x the average chunk mass comes
+from one run) are detected from the table on the host and computed by an
+exact gather+sort fallback program, then patched into the range.
+
+Output is returned as range-chunked columns (concatenating would itself
+allocate 2x — callers stream the ranges).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsdradixsort_tpu.kernels import merge as M
+
+LANES = 128
+
+
+def _seg_sort_fn(tile_log2: int, ce: str, pipeline):
+    """Jittable (keys_seg, base) -> stable (keys, ranks[, payloads...])
+    sorter for one segment; ranks are GLOBAL positions (base + iota)."""
+    from lsdradixsort_tpu.ops.sort import merge_sort_multi
+
+    def f(seg, base, *payloads):
+        L = seg.shape[0]
+        iota = base + jax.lax.broadcasted_iota(jnp.uint32, (L,), 0)
+        k, vs = merge_sort_multi(seg, [iota, *payloads],
+                                 tile_log2=tile_log2, ce=ce,
+                                 pipeline=pipeline)
+        return k, vs
+    return f
+
+
+def _chunk_fallback_fn(S: int, ns: int, C: int, blk: int):
+    """Exact gather+sort program for one overflow (skewed) chunk: slice a
+    static max-size window from every run, sentinel-mask beyond the block
+    window, lax.sort by (key, val0), take the C rows at exact offset pre.
+    Run lengths are read from the (static) argument shapes, so trimmed
+    runs clamp correctly."""
+    W = C + 2 * blk
+
+    def f(tabrow, *streams):          # streams: ns x S run arrays, flat
+        runs = [streams[g * S:(g + 1) * S] for g in range(ns)]
+        parts = [[] for _ in range(ns)]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (W,), 0)
+        for s in range(S):
+            Ls = runs[0][s].shape[0]
+            start = tabrow[s] * LANES
+            wlen = tabrow[M.KWAY + s] * blk
+            cs = jnp.clip(start, 0, Ls - W)
+            off = start - cs
+            valid = (iota >= off) & (iota < off + wlen)
+            for g in range(ns):
+                w = jax.lax.dynamic_slice(runs[g][s], (cs,), (W,))
+                parts[g].append(jnp.where(valid, w,
+                                          jnp.uint32(0xFFFFFFFF)))
+        cols = [jnp.concatenate(p) for p in parts]
+        out = jax.lax.sort(tuple(cols), num_keys=min(ns, 2),
+                           is_stable=False)
+        pre = tabrow[17] * LANES - tabrow[16]
+        return [jax.lax.dynamic_slice(o, (pre,), (C,)) for o in out]
+    return f
+
+
+def merge_runs_chunked(run_streams, *, chunk_log2: int = 19,
+                       nranges: int = 2, blk: int = M.DEF_BLK,
+                       buf_elems: int = M.DEF_BUF, trim: bool = True,
+                       ce: str = "reshape", pipeline="full",
+                       interpret: bool | None = None):
+    """Merge S sorted runs (each stream a list of S separate equal-length
+    device buffers) into `nranges` output ranges, trimming consumed input
+    between ranges. run_streams[0] = keys; run_streams[1] = val0 (the
+    position-consistent tiebreak, REQUIRED: exact boundaries count ties in
+    run order); further streams ride. Returns list over streams of lists
+    over ranges.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    ns = len(run_streams)
+    S = len(run_streams[0])
+    if not 2 <= S <= M.KWAY:
+        raise ValueError(f"need 2..{M.KWAY} runs, got {S}")
+    L = run_streams[0][0].shape[0]
+    C = 1 << chunk_log2
+    nch = S * L // C
+    if nch % nranges:
+        raise ValueError(f"nranges={nranges} must divide nchunks={nch}")
+    qcap = buf_elems // 4 // blk
+
+    tabf = jax.jit(functools.partial(M.merge_tables_exact_runs,
+                                     chunk_elems=C, blk=blk))
+    tab, _ = tabf(run_streams[0])
+    tab_host = np.asarray(tab)            # (nch+pad+8, NCOLS), tiny
+    pair = (tab_host[:nch, M.KWAY:2 * M.KWAY:2]
+            + tab_host[:nch, M.KWAY + 1:2 * M.KWAY:2])
+    overflow = np.flatnonzero(pair.max(axis=1) > qcap)
+    fb = None
+
+    streams = [list(rs) for rs in run_streams]
+    trims = np.zeros(S, np.int32)         # rows already trimmed per run
+    rng_ch = nch // nranges
+    out = [[] for _ in range(ns)]
+    for ri in range(nranges):
+        c0 = ri * rng_ch
+        adj = tab_host.copy()
+        adj[:, :S] -= trims[None, :]
+        ovf = overflow[(overflow >= c0) & (overflow < c0 + rng_ch)]
+        if ovf.size:
+            # neutralize overflow chunks for the kernel (no loads/emits)
+            adj[ovf, :2 * M.KWAY] = 0
+            adj[ovf, 19] = 0
+        outs = M.merge_pass_runs(
+            streams, jnp.asarray(adj), chunk0=c0, nchunks=rng_ch,
+            chunk_elems=C, buf_elems=buf_elems, blk=blk, ce=ce,
+            pipeline=pipeline, interpret=interpret)
+        if ovf.size:
+            if fb is None:
+                fb = jax.jit(_chunk_fallback_fn(S, ns, C, blk))
+            patch = jax.jit(
+                lambda dst, src, at: jax.lax.dynamic_update_slice(
+                    dst, src, (at,)), donate_argnums=0)
+            for c in ovf.tolist():
+                row = tab_host[c].copy()
+                row[:S] -= trims
+                cols = fb(jnp.asarray(row),
+                          *[r for rs in streams for r in rs])
+                at = (c - c0) * C
+                outs = [patch(o, col, at) for o, col in zip(outs, cols)]
+        for g in range(ns):
+            out[g].append(outs[g])
+        if trim and ri + 1 < nranges:
+            # free each run's consumed prefix (quarter-run granularity);
+            # the donated static-slice copy frees the old buffer
+            Lr = L // LANES
+            for s in range(S):
+                consumed = int(tab_host[c0 + rng_ch, s])  # rows
+                # keep >= one quarter-run: zero-length refs don't trace,
+                # and window starts clamp against the remaining buffer
+                t_new = min((consumed // (Lr // 4)) * (Lr // 4),
+                            Lr - Lr // 4)
+                d = int(t_new - trims[s])
+                if d <= 0:
+                    continue
+                cut = jax.jit(lambda x, d=d * LANES: x[d:],
+                              donate_argnums=0)
+                for g in range(ns):
+                    streams[g][s] = cut(streams[g][s])
+                trims[s] = t_new
+    return out
+
+
+def sort_kv_chunked(key_segs, val_segs=None, *, tile_log2: int = 15,
+                    chunk_log2: int = 19, nranges: int = 2,
+                    blk: int = M.DEF_BLK, buf_elems: int = M.DEF_BUF,
+                    ce: str = "reshape", pipeline="full",
+                    interpret: bool | None = None):
+    """Stable kv sort of segment-chunked columns at chip scale.
+
+    key_segs: list of S equal-length u32 segments (S in 2..8, each length
+    a power-of-2 multiple of the tile and of blk); together they form the
+    logical column keys = concat(key_segs). val_segs: optional matching
+    payload segments. Returns (key_ranges, rank_ranges[, val_ranges]) —
+    output as `nranges` range-chunked arrays per stream (concatenating at
+    2^30 would itself blow the memory plan; stream the ranges).
+
+    This is the public 2^30 path: 8 segments of 2^27 u32 keys (+payload)
+    sort stably with ~12 GB peak HBM — sorted keys, original positions,
+    and payloads emerge without any host round trip. Each segment is
+    DONATED (freed as it is consumed).
+    """
+    S = len(key_segs)
+    L = key_segs[0].shape[0]
+    if any(int(s.shape[0]) != L for s in key_segs):
+        raise ValueError("segments must be equal length")
+    has_vals = val_segs is not None
+    f = jax.jit(_seg_sort_fn(tile_log2, ce, pipeline),
+                donate_argnums=(0,) if not has_vals else (0, 2))
+    runs_k, runs_r, runs_v = [], [], []
+    for s in range(S):
+        base = jnp.uint32(s) * jnp.uint32(L)
+        if has_vals:
+            k, vs = f(key_segs[s], base, val_segs[s])
+            runs_v.append(vs[1])
+        else:
+            k, vs = f(key_segs[s], base)
+        runs_k.append(k)
+        runs_r.append(vs[0])
+    streams = [runs_k, runs_r] + ([runs_v] if has_vals else [])
+    outs = merge_runs_chunked(streams, chunk_log2=chunk_log2,
+                              nranges=nranges, blk=blk,
+                              buf_elems=buf_elems, ce=ce,
+                              pipeline=pipeline, interpret=interpret)
+    return tuple(outs)
+
+
+def sort_with_ranks_chunked(key_segs, **kw):
+    """sort_kv_chunked without a payload: (key_ranges, rank_ranges)."""
+    return sort_kv_chunked(key_segs, None, **kw)

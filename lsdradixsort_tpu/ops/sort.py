@@ -8,8 +8,8 @@ Strategies:
 
   * ``"merge"`` (default) — the framework's own sort: VMEM bitonic tile
     sort + 8-way sample-split merge passes (kernels/merge.py). Measured
-    1.55x faster than jax.lax.sort on v5e at 2^27 keys and 1.23x the
-    reference GPU's best (BENCHMARKS.md).
+    808 Melem/s on v5e at 2^27 keys (ce=reshape + fully-pipelined DMAs,
+    ROADMAP §7c) — 2.5x jax.lax.sort and 2.02x the reference GPU's best.
   * ``"xla"`` — jax.lax.sort, the XLA-native bar the framework beats.
   * ``"composed"`` — a faithful LSD radix pipeline composed from this
     framework's own kernels (block_digit_histograms → per-block digit scans →
@@ -68,7 +68,7 @@ def merge_sort_keys(keys: jax.Array, tile_log2: int = 15,
                     max_buf: int | None = None,
                     blk: int | None = None,
                     skew_fallback: bool = True,
-                    ce: str = "roll", pipeline: bool = True):
+                    ce: str = "reshape", pipeline="full"):
     """The framework sort: tile sort + 8-way merge passes (kernels/merge.py).
 
     Any n >= 1 (padded internally with 0xFFFFFFFF sentinels). tile_log2 /
@@ -129,7 +129,7 @@ def merge_sort_keys(keys: jax.Array, tile_log2: int = 15,
 def merge_sort_with_ranks(keys: jax.Array, tile_log2: int = 15,
                           max_buf: int | None = None,
                           blk: int | None = None,
-                          ce: str = "roll", pipeline: bool = True):
+                          ce: str = "reshape", pipeline="full"):
     """Framework stable kv sort: returns (sorted_keys, original_positions).
 
     The row index rides as the payload through the tile sort and every
@@ -172,7 +172,7 @@ def merge_sort_with_ranks(keys: jax.Array, tile_log2: int = 15,
 def merge_sort_multi(keys: jax.Array, values, tile_log2: int = 15,
                      max_buf: int | None = None,
                      blk: int | None = None,
-                     ce: str = "roll", pipeline: bool = True):
+                     ce: str = "reshape", pipeline="full"):
     """Framework sort of (keys, values[0]) lexicographic with any number of
     payload streams riding (kernels/merge.py multi-stream engine).
 
@@ -375,18 +375,22 @@ def sort64_with_ranks(key_hi: jax.Array, key_lo: jax.Array,
     logical key type: "uint64", "int64", or "float64" (IEEE total order,
     as the 32-bit codec).
 
-    The sort is the LSD composition the whole framework is named for,
-    lifted to 32-bit digits: a stable pass by the low plane, then a
-    stable pass by the high plane — exactly the reference's digit-group
-    loop (LSDRadixSort.cu:62-69) with r=32 and the framework's stable
-    merge engine as the per-digit sorter. Two passes of the measured
-    multi-stream rate; no new kernel surface.
+    strategy "merge" (default) is the SINGLE-CHAIN engine: one stable
+    merge pipeline comparing (hi, lo, position) at every compare-exchange
+    (ncmp=3) — half the HBM traffic of the two-pass LSD spelling, for
+    ~1.5x the per-stage vector work (ROADMAP §8). "merge2" is the two-pass
+    LSD composition lifted to 32-bit digits: a stable pass by the low
+    plane, then a stable pass by the high plane — exactly the reference's
+    digit-group loop (LSDRadixSort.cu:62-69) with r=32 and the framework's
+    stable merge engine as the per-digit sorter.
     """
     chi, clo = keycodec.encode64(key_hi, key_lo, dtype, descending)
     n = key_hi.shape[0]
     iota = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
     # the sorted iota tiebreak of pass 1 IS the pass-1 permutation
     if strategy == "merge":
+        hi_o, lo_o, perm = _merge1_sort64(chi, clo, tile_log2=tile_log2)
+    elif strategy == "merge2":
         lo_s, (perm1, hi_s) = merge_sort_multi(clo, [iota, chi],
                                                tile_log2=tile_log2)
         iota2 = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
@@ -399,9 +403,58 @@ def sort64_with_ranks(key_hi: jax.Array, key_lo: jax.Array,
         hi_o, _, lo_o, perm = jax.lax.sort(
             (hi_s, iota2, lo_s, perm1), num_keys=2, is_stable=False)
     else:
-        raise ValueError(f"strategy {strategy!r}: pick 'merge' or 'xla'")
+        raise ValueError(f"strategy {strategy!r}: pick 'merge', 'merge2' "
+                         f"or 'xla'")
     hi_o, lo_o = keycodec.decode64(hi_o, lo_o, dtype, descending)
     return hi_o, lo_o, perm
+
+
+def _merge1_sort64(chi, clo, tile_log2: int = 15,
+                   max_buf: int | None = None, blk: int | None = None,
+                   ce: str = "reshape", pipeline="full"):
+    """Single-chain stable 64-bit sort: ONE tile-sort + merge pipeline
+    whose compare-exchanges order by (hi, lo, position) — the merge
+    engine's ncmp=3 mode, with the prepass boundary search comparing the
+    (hi, lo) pair (merge_pass_tables keys2=). Returns (hi, lo, positions),
+    all three streams moved by the same exchanges.
+
+    Pads sort last exactly: pad rows are (hi, lo, pos) =
+    (0xFFFFFFFF, 0xFFFFFFFF, >= n) and positions are a unique strict
+    tiebreak, so the order is total and stable by construction.
+    """
+    from lsdradixsort_tpu.kernels import merge as M
+    from lsdradixsort_tpu.kernels.tile_sort import sort_tiles_multi
+    if max_buf is None:
+        max_buf = M.DEF_BUF
+    if blk is None:
+        blk = min(M.DEF_BLK, 1 << tile_log2)
+    n = chi.shape[0]
+    tile = 1 << tile_log2
+    npad = tile * (1 << max(0, (-(-n // tile) - 1).bit_length()))
+    if npad != n:
+        pad = jnp.full((npad - n,), 0xFFFFFFFF, jnp.uint32)
+        chi = jnp.concatenate([chi, pad])
+        clo = jnp.concatenate([clo, pad])
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (npad,), 0)
+    hi, (lo, pos) = sort_tiles_multi(chi, [clo, iota],
+                                     tile_rows=tile // 128, ce=ce, ncmp=3)
+    run = tile
+    while run < npad:
+        buf = M.pass_buf_elems(run, max_buf)
+        tab, ok = M.merge_pass_tables(hi, run, buf, blk, keys2=lo)
+        hi, (lo, pos) = jax.lax.cond(
+            ok,
+            lambda h, l, p, tab, run=run, buf=buf: (
+                lambda o: (o[0], o[1]))(M.merge_pass_multi(
+                    h, [l, p], tab, run_len=run, buf_elems=buf, blk=blk,
+                    ce=ce, pipeline=pipeline, ncmp=3)),
+            lambda h, l, p, tab: (lambda o: (o[0], [o[1], o[2]]))(
+                jax.lax.sort((h, l, p), num_keys=3, is_stable=False)),
+            hi, lo, pos, tab)
+        run *= M.KWAY
+    if npad != n:
+        hi, lo, pos = hi[:n], lo[:n], pos[:n]
+    return hi, lo, pos
 
 
 @functools.partial(jax.jit, static_argnames=("block_size",))

@@ -140,7 +140,7 @@ def _planes(k64_bits: np.ndarray):
 
 @pytest.mark.parametrize("dtype", ["uint64", "int64", "float64"])
 @pytest.mark.parametrize("desc", [False, True])
-@pytest.mark.parametrize("strategy", ["merge", "xla"])
+@pytest.mark.parametrize("strategy", ["merge", "merge2", "xla"])
 def test_sort64_with_ranks(rng, dtype, desc, strategy):
     from lsdradixsort_tpu.ops.sort import sort64_with_ranks
     n = 1 << 12
@@ -161,7 +161,7 @@ def test_sort64_with_ranks(rng, dtype, desc, strategy):
         logical = logical.astype(np.float64)
         bits = logical.view(np.uint64)
     hi, lo = _planes(bits)
-    kw = dict(tile_log2=9) if strategy == "merge" else {}
+    kw = dict(tile_log2=9) if strategy.startswith("merge") else {}
     hi_s, lo_s, perm = sort64_with_ranks(
         jnp.asarray(hi), jnp.asarray(lo), dtype=dtype, descending=desc,
         strategy=strategy, **kw)
