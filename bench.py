@@ -1,8 +1,8 @@
 """Flagship benchmark: full-sort throughput on one chip.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
-   "kv_value": N, "kv_vs_baseline": N, ...}
+Prints ONE JSON line on stdout:
+  {"metric": "sort_throughput", "value": N, "unit": "Melem/s",
+   "vs_baseline": N, "kv_value": N, "kv_vs_baseline": N, ...}
 
 Workload: the reference's own flagship — sort uniform-random uint32 keys
 (BenchmarkLSDRadixSort.md; the reference sorts keys-only) — plus the
@@ -17,33 +17,119 @@ VMEM bitonic tile sort + 8-way sample-split merge passes, kernels/merge.py
 Run with --verify to check both outputs bit-exactly against numpy first.
 
 Robustness (the reference never loses its numbers — its reports are
-checked-in captured stdout): transient TPU/tunnel errors (e.g.
-FAILED_PRECONDITION during an outage) are retried with backoff; every
-good run is persisted to reports/bench_last_good.json; if all attempts
-fail, the last good numbers are emitted with "stale": true and an
-"error" field, so the captured line always parses.
+checked-in captured stdout, BenchmarkLSDRadixSort.md:139-161). Round 3's
+capture died rc=124 with NOTHING on stdout because both 2^27 jits
+compiled before any output and the process had no signal handling. This
+version is structured so a JSON line lands under ANY termination:
+
+  * A best-so-far record is maintained from t=0 (seeded from the
+    committed reports/bench_last_good.json, marked "stale": true).
+  * The keys-only number is measured FIRST and folded into the record
+    the moment it exists; the kv measurement then extends it.
+  * SIGTERM/SIGINT/SIGALRM handlers emit the current record and exit.
+    An internal deadline (env BENCH_DEADLINE_S, default 510 s) fires
+    SIGALRM before a typical external 10-minute kill.
+  * The kv phase is skipped entirely if too little budget remains.
+  * No long retry sleeps (round 3 burned 75 s in backoff): one retry
+    per phase, 5 s apart, transient-error or not.
+  * Every good measurement is persisted to reports/bench_last_good.json
+    (committed to the repo) so a future cold-kill still emits real data.
 """
 from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 import traceback
 
 REFERENCE_GELEMS_PER_S = 0.400  # BASELINE.md best full-sort config
-LAST_GOOD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "reports", "bench_last_good.json")
-ATTEMPTS = 3
-BACKOFF_S = (15, 60)
+HERE = os.path.dirname(os.path.abspath(__file__))
+LAST_GOOD = os.path.join(HERE, "reports", "bench_last_good.json")
+DEADLINE_S = float(os.environ.get("BENCH_DEADLINE_S", "510"))
+T0 = time.monotonic()
+
+# ---- best-so-far record, emitted exactly once under any termination ----
+BEST: dict = {"metric": "sort_throughput", "value": None,
+              "unit": "Melem/s", "vs_baseline": None}
+_EMITTED = False
 
 
-def _measure(verify: bool) -> dict:
-    """One full measurement attempt. Imports inside so a dead backend at
-    import time is also retried."""
+def _emit(partial: bool = False) -> None:
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    rec = dict(BEST)
+    if partial:
+        rec["partial"] = True
+    sys.stdout.write(json.dumps(rec) + "\n")
+    sys.stdout.flush()
+
+
+def _on_signal(signum, frame):  # noqa: ARG001
+    print(f"# bench: signal {signum} at t={time.monotonic() - T0:.0f}s — "
+          f"emitting best-so-far record", file=sys.stderr)
+    _emit(partial=True)
+    os._exit(0)
+
+
+def _install_handlers() -> None:
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        signal.signal(sig, _on_signal)
+    if hasattr(signal, "SIGALRM") and DEADLINE_S > 0:
+        signal.signal(signal.SIGALRM, _on_signal)
+        signal.alarm(int(DEADLINE_S))
+
+
+def _seed_from_last_good() -> None:
+    try:
+        with open(LAST_GOOD) as f:
+            rec = json.load(f)
+        rec.pop("partial", None)
+        rec["stale"] = True
+        BEST.clear()
+        BEST.update(rec)
+    except (OSError, ValueError):
+        pass
+
+
+def _persist() -> None:
+    try:
+        os.makedirs(os.path.dirname(LAST_GOOD), exist_ok=True)
+        rec = {k: v for k, v in BEST.items()
+               if k not in ("stale", "partial", "error")}
+        with open(LAST_GOOD, "w") as f:
+            json.dump(rec, f)
+    except OSError:
+        pass
+
+
+def _budget_left() -> float:
+    return DEADLINE_S - (time.monotonic() - T0) if DEADLINE_S > 0 else 1e9
+
+
+def _attempt(phase: str, fn, retries: int = 1):
+    """Run fn(); on failure retry once after 5 s. Returns None on failure."""
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — reported in the record
+            BEST["error"] = f"{phase}: {type(e).__name__}: {e}"[:500]
+            traceback.print_exc(file=sys.stderr)
+            if attempt < retries and _budget_left() > 30:
+                time.sleep(5)
+    return None
+
+
+def main() -> int:
+    verify = "--verify" in sys.argv
+    _seed_from_last_good()
+    _install_handlers()
+
     import jax
     import jax.numpy as jnp
-
     from lsdradixsort_tpu.core.cache import enable_persistent_cache
     enable_persistent_cache()
     from lsdradixsort_tpu.core.timing import time_fn
@@ -52,80 +138,71 @@ def _measure(verify: bool) -> dict:
 
     n = 1 << 27
     keys = jax.random.bits(jax.random.PRNGKey(0), (n,), dtype=jnp.uint32)
-    kfn = jax.jit(merge_sort_keys)
-    kvfn = jax.jit(merge_sort_with_ranks)
+    want = None
     if verify:
         import numpy as np
-        host = np.asarray(keys)
-        want = np.sort(host)
-        got = np.asarray(kfn(keys))
-        ok = bool((got == want).all())
-        print(f"# verify sort(merge) n=2^27: {'OK' if ok else 'FAILED'}",
-              file=sys.stderr)
-        if not ok:
-            raise AssertionError("keys-only merge sort mismatch vs np.sort")
-        sk, sr = kvfn(keys)
-        sk, sr = np.asarray(sk), np.asarray(sr)
-        # stable kv: sorted keys match AND the permutation reproduces them
-        # with equal-key ranks ascending (stability)
-        ok = bool((sk == want).all()) and bool((host[sr] == sk).all())
-        if ok:
-            same = sk[1:] == sk[:-1]
-            ok = bool((~same | (sr[1:] > sr[:-1])).all())
-        print(f"# verify kv merge_sort_with_ranks: {'OK' if ok else 'FAILED'}",
-              file=sys.stderr)
-        if not ok:
-            raise AssertionError("stable kv merge sort mismatch")
-    t = time_fn(kfn, keys, iters=4, warmup=2)
-    tkv = time_fn(kvfn, keys, iters=4, warmup=2)
-    gelems = t.gelems_per_s(n)
-    gkv = tkv.gelems_per_s(n)
-    return {
-        "metric": "sort_throughput",
-        "value": round(gelems * 1e3, 2),
-        "unit": "Melem/s",
-        "vs_baseline": round(gelems / REFERENCE_GELEMS_PER_S, 3),
-        "kv_value": round(gkv * 1e3, 2),
-        "kv_vs_baseline": round(gkv / REFERENCE_GELEMS_PER_S, 3),
-        "n": n,
-    }
+        want = np.sort(np.asarray(keys))
 
+    # ---- phase 1: keys-only (the reference's exact workload) ----
+    def keys_phase():
+        kfn = jax.jit(merge_sort_keys)
+        if verify:
+            import numpy as np
+            got = np.asarray(kfn(keys))
+            ok = bool((got == want).all())
+            print(f"# verify sort(merge) n=2^27: {'OK' if ok else 'FAILED'}",
+                  file=sys.stderr)
+            if not ok:
+                raise AssertionError("keys merge sort mismatch vs np.sort")
+        t = time_fn(kfn, keys, iters=4, warmup=2)
+        return t.gelems_per_s(n)
 
-def main() -> int:
-    verify = "--verify" in sys.argv
-    last_err = None
-    for attempt in range(ATTEMPTS):
-        try:
-            rec = _measure(verify)
-            try:
-                os.makedirs(os.path.dirname(LAST_GOOD), exist_ok=True)
-                with open(LAST_GOOD, "w") as f:
-                    json.dump(rec, f)
-            except OSError:
-                pass
-            print(json.dumps(rec))
-            return 0
-        except Exception as e:  # noqa: BLE001 — retried, then reported
-            last_err = f"{type(e).__name__}: {e}"
-            traceback.print_exc(file=sys.stderr)
-            if attempt + 1 < ATTEMPTS:
-                delay = BACKOFF_S[min(attempt, len(BACKOFF_S) - 1)]
-                print(f"# attempt {attempt + 1} failed; retrying in "
-                      f"{delay}s", file=sys.stderr)
-                time.sleep(delay)
-    # all attempts failed: emit the last good numbers (stale) or an
-    # error-only record — either way the line parses
-    rec = {"metric": "sort_throughput", "value": None, "unit": "Melem/s",
-           "vs_baseline": None}
-    try:
-        with open(LAST_GOOD) as f:
-            rec = json.load(f)
-        rec["stale"] = True
-    except (OSError, ValueError):
-        pass
-    rec["error"] = (last_err or "unknown")[:500]
-    print(json.dumps(rec))
-    return 1
+    g = _attempt("keys", keys_phase)
+    if g is not None:
+        BEST.pop("stale", None)
+        BEST.pop("error", None)
+        BEST.update(value=round(g * 1e3, 2),
+                    vs_baseline=round(g / REFERENCE_GELEMS_PER_S, 3), n=n)
+        BEST.setdefault("kv_value", None)
+        BEST.setdefault("kv_vs_baseline", None)
+        _persist()
+        print(f"# keys: {BEST['value']} Melem/s "
+              f"(t={time.monotonic() - T0:.0f}s)", file=sys.stderr)
+
+    # ---- phase 2: stable kv (north-star config 2), budget permitting ----
+    def kv_phase():
+        kvfn = jax.jit(merge_sort_with_ranks)
+        if verify:
+            import numpy as np
+            host = np.asarray(keys)
+            sk, sr = kvfn(keys)
+            sk, sr = np.asarray(sk), np.asarray(sr)
+            ok = bool((sk == want).all()) and bool((host[sr] == sk).all())
+            if ok:  # stability: equal-key ranks strictly ascending
+                same = sk[1:] == sk[:-1]
+                ok = bool((~same | (sr[1:] > sr[:-1])).all())
+            print(f"# verify kv merge_sort_with_ranks: "
+                  f"{'OK' if ok else 'FAILED'}", file=sys.stderr)
+            if not ok:
+                raise AssertionError("stable kv merge sort mismatch")
+        t = time_fn(kvfn, keys, iters=4, warmup=2)
+        return t.gelems_per_s(n)
+
+    if _budget_left() > 60:
+        gkv = _attempt("kv", kv_phase)
+        if gkv is not None:
+            BEST.pop("error", None)
+            BEST.update(kv_value=round(gkv * 1e3, 2),
+                        kv_vs_baseline=round(gkv / REFERENCE_GELEMS_PER_S, 3))
+            _persist()
+            print(f"# kv: {BEST['kv_value']} Melem/s "
+                  f"(t={time.monotonic() - T0:.0f}s)", file=sys.stderr)
+    else:
+        print(f"# kv phase skipped: {_budget_left():.0f}s left",
+              file=sys.stderr)
+
+    _emit()
+    return 0 if BEST.get("value") is not None else 1
 
 
 if __name__ == "__main__":

@@ -15,9 +15,12 @@ against regenerated segments.
 Usage: drive_big30.py [verify|time|warm_hist|warm_sort|warm_merge]
 
 The warm_* phases compile (and persist to the JAX compilation cache) one
-big program each, so the verify/time run hits the cache everywhere — the
-axon remote-compile helper degrades when one process batches several big
-Pallas compiles (ROADMAP §7c), so each phase gets its own process:
+big program each, so the verify/time run hits the cache for the dominant
+compiles (hist, segment sort, tables, range-0 merge; range 1's trimmed
+run lengths and the verify path's range_check/sample_check programs still
+compile in-run) — the axon remote-compile helper degrades when one
+process batches several big Pallas compiles (ROADMAP §7c), so each phase
+gets its own process:
   warm_hist  — the chunked salted-histogram program (verify's oracle)
   warm_sort  — the 2^27 segment stable kv sort (tile sort + 4 merge passes)
   warm_merge — merge_tables_exact_runs + merge_pass_runs at 2^30 shapes
@@ -121,11 +124,15 @@ if MODE == "warm_merge":
     # compile the exact-rank table prepass and the chunked run-merge kernel
     # at the real 2^30 shapes; the runs' VALUES don't matter for compilation
     # (already-sorted iota segments are valid sorted runs), so this phase
-    # skips the 8 segment sorts
+    # skips the 8 segment sorts. The runs must INTERLEAVE keys across runs
+    # (identical iotas: every chunk draws ~C/S rows from each run) so the
+    # merge kernel's per-chunk quarter-capacity contract
+    # (max_pair_blocks <= buf_elems//4//blk) holds — constant-per-run keys
+    # would pull an entire chunk from ONE run and overrun the VMEM window.
     import functools as _ft
     from lsdradixsort_tpu.kernels import merge as M
-    runs_k = [jax.jit(lambda s=s: jnp.full((L,), s, jnp.uint32))()
-              for s in range(S)]
+    runs_k = [jax.jit(lambda: jax.lax.broadcasted_iota(
+        jnp.uint32, (L,), 0))() for s in range(S)]
     runs_r = [jax.jit(lambda s=s: jnp.uint32(s * L) + jax.lax.broadcasted_iota(
         jnp.uint32, (L,), 0))() for s in range(S)]
     C = 1 << 19

@@ -35,7 +35,6 @@ NLOG = int(sys.argv[2]) if len(sys.argv) > 2 else 24
 n = 1 << NLOG
 mesh = make_mesh(1)
 axis = "data"
-ranks = jnp.arange(1, 1, dtype=jnp.uint32)  # d=1: no boundaries
 
 
 def stage_fn(k, v):

@@ -125,7 +125,7 @@ def dist_group_by_sum(keys: jax.Array, values: jax.Array, mesh: Mesh,
     fn = shard_map(
         lambda k, v: _dist_group_by_sum_shard(k, v, ranks, axis, n),
         mesh=mesh, in_specs=(P(axis), P(axis)),
-        out_specs=(P(axis), P(axis), P(axis)))
+        out_specs=(P(axis), P(axis), P(axis)), check_vma=False)
     return fn(keys, values)
 
 
@@ -245,9 +245,9 @@ def dist_join(build_keys: jax.Array, build_vals: jax.Array,
 
     # check_vma=False: the Pallas fill-forward call inside the shard body
     # cannot annotate varying-mesh-axes on its out_shapes
-    return shard_map(shard_fn, mesh=mesh,
+    return shard_map(shard_fn, mesh=mesh, check_vma=False,
                      in_specs=(P(axis),) * 4,
-                     out_specs=(P(axis),) * 5, check_vma=False)(
+                     out_specs=(P(axis),) * 5)(
         build_keys, build_vals, probe_keys, probe_vals)
 
 
@@ -277,7 +277,7 @@ def dist_filter_kv(keys: jax.Array, values: jax.Array, lo, hi, mesh: Mesh,
         count, fk, fv = filter_kv(k, v, lo, hi)
         return count.reshape(1), fk, fv
 
-    return shard_map(shard_fn, mesh=mesh, in_specs=(P(axis), P(axis)),
+    return shard_map(shard_fn, mesh=mesh, check_vma=False, in_specs=(P(axis), P(axis)),
                      out_specs=(P(axis), P(axis), P(axis)))(keys, values)
 
 
@@ -411,8 +411,9 @@ def dist_top_k(keys: jax.Array, k: int, mesh: Mesh, largest: bool = True,
     # varying-mesh-axes info, so replication of the post-all_gather math
     # cannot be statically inferred (it IS replicated: deterministic
     # function of the gathered candidates)
-    return shard_map(shard_fn, mesh=mesh, in_specs=(P(axis),),
-                     out_specs=(P(), P()), check_vma=False)(keys)
+    return shard_map(shard_fn, mesh=mesh, check_vma=False,
+                     in_specs=(P(axis),),
+                     out_specs=(P(), P()))(keys)
 
 
 @functools.partial(jax.jit, static_argnames=("mesh", "axis"))

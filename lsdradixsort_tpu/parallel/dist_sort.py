@@ -34,6 +34,38 @@ from jax import shard_map
 from lsdradixsort_tpu.parallel.mesh import DATA_AXIS
 
 
+def _resolve_engine(engine: str) -> str:
+    """Local-sort engine for the per-shard sorts. "auto" picks the
+    framework merge engine on TPU (where it measures ~2.5x jax.lax.sort,
+    BENCHMARKS.md) and jax.lax.sort elsewhere (the 8-virtual-device CPU
+    test mesh, where Pallas interpret mode would dominate)."""
+    if engine == "auto":
+        return "merge" if jax.default_backend() == "tpu" else "xla"
+    if engine not in ("merge", "xla"):
+        raise ValueError(f"engine {engine!r}: pick 'auto', 'merge' or 'xla'")
+    return engine
+
+
+def _local_sort_stable(keys, src, vals, engine: str, tile_log2: int = 15):
+    """Stable per-shard sort by (key, src) with riding payload streams.
+    src is a unique position-consistent tiebreak (the global source rank),
+    which is exactly the merge engine's val0 contract (ROADMAP §7)."""
+    if engine == "merge":
+        from lsdradixsort_tpu.ops.sort import merge_sort_multi
+        sk, outs = merge_sort_multi(keys, [src, *vals], tile_log2=tile_log2)
+        return (sk, *outs)
+    return jax.lax.sort((keys, src) + tuple(vals), num_keys=2,
+                        is_stable=False)
+
+
+def _local_sort_keys(keys, engine: str, tile_log2: int = 15):
+    """Per-shard keys-only sort."""
+    if engine == "merge":
+        from lsdradixsort_tpu.ops.sort import merge_sort_keys
+        return merge_sort_keys(keys, tile_log2=tile_log2)
+    return jax.lax.sort(keys)
+
+
 def _splitter_keys(sk: jax.Array, ranks: jax.Array, axis: str,
                    fanout: int = 256, rounds: int = 5) -> jax.Array:
     """Exact global splitter keys by psum-counted multi-probe search.
@@ -162,7 +194,9 @@ def _exchange_padded(arrays, input_offsets, send_sizes, recv_sizes,
 
 
 def _dist_sort_shard(keys, values, ranks, axis, n_total, stable, src=None,
-                     keep_src=False):
+                     keep_src=False, engine: str = "auto",
+                     tile_log2: int = 15):
+    engine = _resolve_engine(engine)
     n_local = keys.shape[0]
     d = n_total // n_local
     me = jax.lax.axis_index(axis)
@@ -170,14 +204,18 @@ def _dist_sort_shard(keys, values, ranks, axis, n_total, stable, src=None,
         if src is None:
             src = (me.astype(jnp.uint32) * jnp.uint32(n_local)
                    + jnp.arange(n_local, dtype=jnp.uint32))
-        # src is a unique, position-consistent secondary key, so the
-        # 2-key UNSTABLE sort equals the stable 1-key sort minus XLA's
-        # 1.4x is_stable tax (see ops/sort.sort_with_ranks)
-        sk, ssrc, *svals = jax.lax.sort((keys, src) + values, num_keys=2,
-                                        is_stable=False)
+        # src is a unique, position-consistent secondary key, so a 2-key
+        # UNSTABLE sort equals the stable 1-key sort minus XLA's 1.4x
+        # is_stable tax (see ops/sort.sort_with_ranks); on TPU the local
+        # sorts run the framework merge engine instead (VERDICT r3 #5)
+        sk, ssrc, *svals = _local_sort_stable(keys, src, values, engine,
+                                          tile_log2)
     else:
-        sk, *svals = jax.lax.sort((keys,) + values, num_keys=1,
-                                  is_stable=False)
+        if values:
+            sk, *svals = jax.lax.sort((keys,) + values, num_keys=1,
+                                      is_stable=False)
+        else:
+            sk, svals = _local_sort_keys(keys, engine, tile_log2), []
         ssrc = None
     spk = _splitter_keys(sk, ranks, axis)
     input_offsets, send_sizes = _local_send_plan(sk, spk, ranks, axis)
@@ -186,24 +224,28 @@ def _dist_sort_shard(keys, values, ranks, axis, n_total, stable, src=None,
                          out_len=n_total // d)
     if stable:
         rk, rsrc, *rvals = received
-        out = jax.lax.sort((rk, rsrc) + tuple(rvals), num_keys=2,
-                           is_stable=False)
+        out = _local_sort_stable(rk, rsrc, rvals, engine, tile_log2)
         if keep_src:
             return out
         return (out[0],) + tuple(out[2:])
     rk, *rvals = received
-    out = jax.lax.sort((rk,) + tuple(rvals), num_keys=1, is_stable=False)
-    return tuple(out)
+    if rvals:
+        return tuple(jax.lax.sort((rk,) + tuple(rvals), num_keys=1,
+                                  is_stable=False))
+    return (_local_sort_keys(rk, engine, tile_log2),)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "axis", "descending"))
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "descending",
+                                             "engine", "tile_log2"))
 def dist_sort(keys: jax.Array, mesh: Mesh, axis: str = DATA_AXIS,
-              descending: bool = False) -> jax.Array:
+              descending: bool = False, engine: str = "auto",
+              tile_log2: int = 15) -> jax.Array:
     """Globally sort keys (u32/i32/f32, asc/desc) sharded over `axis`.
     Exact and balanced for any distribution; n must be divisible by the
     mesh size. Non-u32 dtypes ride the order-preserving codecs
     (core/keycodec.py) — elementwise, so they commute with the sharding
-    and add one fused op per stream end."""
+    and add one fused op per stream end. engine: local-sort engine
+    ("auto" = framework merge engine on TPU, jax.lax.sort elsewhere)."""
     from lsdradixsort_tpu.core import keycodec
     n = keys.shape[0]
     d = mesh.shape[axis]
@@ -213,22 +255,27 @@ def dist_sort(keys: jax.Array, mesh: Mesh, axis: str = DATA_AXIS,
     code = keycodec.encode(keys, descending)
 
     def shard_fn(k):
-        (out,) = _dist_sort_shard(k, (), ranks, axis, n, stable=False)
+        (out,) = _dist_sort_shard(k, (), ranks, axis, n, stable=False,
+                                  engine=engine, tile_log2=tile_log2)
         return out
 
-    out = shard_map(shard_fn, mesh=mesh, in_specs=P(axis),
+    out = shard_map(shard_fn, mesh=mesh, check_vma=False, in_specs=P(axis),
                     out_specs=P(axis))(code)
     return keycodec.decode(out, keys.dtype, descending)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "axis", "descending"))
+@functools.partial(jax.jit, static_argnames=("mesh", "axis", "descending",
+                                             "engine", "tile_log2"))
 def dist_sort_kv(keys: jax.Array, values: jax.Array, mesh: Mesh,
-                 axis: str = DATA_AXIS, descending: bool = False):
+                 axis: str = DATA_AXIS, descending: bool = False,
+                 engine: str = "auto", tile_log2: int = 15):
     """Globally stable key-value sort, sharded over `axis`. Keys
     u32/i32/f32, ascending or descending (core/keycodec.py).
 
     Stability across shards comes from shipping a 32-bit global source rank
     with each row (n < 2**32) and sorting received rows by (key, rank).
+    engine: local-sort engine ("auto" = framework merge engine on TPU,
+    jax.lax.sort elsewhere).
     """
     from lsdradixsort_tpu.core import keycodec
     n = keys.shape[0]
@@ -239,8 +286,9 @@ def dist_sort_kv(keys: jax.Array, values: jax.Array, mesh: Mesh,
     code = keycodec.encode(keys, descending)
 
     def shard_fn(k, v):
-        return _dist_sort_shard(k, (v,), ranks, axis, n, stable=True)
+        return _dist_sort_shard(k, (v,), ranks, axis, n, stable=True,
+                                engine=engine, tile_log2=tile_log2)
 
-    ok, ov = shard_map(shard_fn, mesh=mesh, in_specs=(P(axis), P(axis)),
+    ok, ov = shard_map(shard_fn, mesh=mesh, check_vma=False, in_specs=(P(axis), P(axis)),
                        out_specs=(P(axis), P(axis)))(code, values)
     return keycodec.decode(ok, keys.dtype, descending), ov
