@@ -10,6 +10,9 @@ Two modes:
       reports/trace_sort.jsonl. All stage jits run in ONE process; at
       2^24 each remote Pallas compile is minutes, so expect ~15 min cold.
 
+  stages_kv [n_log2=24] — same for the stable kv pipeline
+      (sort_tiles_kv + merge_pass_kv with the rank stream riding).
+
   xprof [n_log2=24]   — capture a jax.profiler trace of the warm full
       sort into reports/trace_sort_xprof/ (TensorBoard-loadable), if the
       axon backend supports device tracing; falls back to host-only trace
@@ -60,22 +63,31 @@ if MODE == "xprof":
         raise SystemExit(1)
     raise SystemExit(0)
 
-# ---- stages mode ----
+# ---- stages / stages_kv modes ----
 from lsdradixsort_tpu.kernels import merge as M                    # noqa: E402
-from lsdradixsort_tpu.kernels.tile_sort import sort_tiles          # noqa: E402
+from lsdradixsort_tpu.kernels.tile_sort import (sort_tiles,        # noqa: E402
+                                                sort_tiles_kv)
 
+KV = MODE == "stages_kv"
 TILE_LOG2 = 15
 tile = 1 << TILE_LOG2
 assert n % tile == 0 and (n // tile) & (n // tile - 1) == 0
 records = []
 
-tiles_fn = jax.jit(lambda k: sort_tiles(k, tile_rows=tile // 128,
-                                        ce="reshape"))
-t = time_fn(tiles_fn, keys, iters=4, warmup=2)
-records.append({"stage": "tile_sort", "ms": round(t.ms, 2),
+if KV:
+    iota = jnp.arange(n, dtype=jnp.uint32)
+    tiles_fn = jax.jit(lambda k, v: sort_tiles_kv(
+        k, v, tile_rows=tile // 128, ce="reshape"))
+    t = time_fn(tiles_fn, keys, iota, iters=4, warmup=2)
+    x, v = tiles_fn(keys, iota)
+else:
+    tiles_fn = jax.jit(lambda k: sort_tiles(k, tile_rows=tile // 128,
+                                            ce="reshape"))
+    t = time_fn(tiles_fn, keys, iters=4, warmup=2)
+    x, v = tiles_fn(keys), None
+records.append({"stage": "tile_sort", "kv": KV, "ms": round(t.ms, 2),
                 "melems_per_s": round(t.gelems_per_s(n) * 1e3, 1)})
 log(f"tile_sort: {t.ms:.1f} ms")
-x = tiles_fn(keys)
 
 run = tile
 level = 0
@@ -86,22 +98,36 @@ while run < n:
     tt = time_fn(tab_fn, x, iters=4, warmup=2)
     tab, ok = tab_fn(x)
     assert bool(ok), f"tables overflow at run=2^{run.bit_length()-1}"
-    pass_fn = jax.jit(lambda k, tb, run=run, buf=buf: M.merge_pass(
-        k, tb, run_len=run, buf_elems=buf, blk=M.DEF_BLK, ce="reshape",
-        pipeline="full"))
-    tp = time_fn(pass_fn, x, tab, iters=4, warmup=2)
+    if KV:
+        pass_fn = jax.jit(lambda k, v, tb, run=run, buf=buf:
+                          M.merge_pass_kv(k, v, tb, run_len=run,
+                                          buf_elems=buf, blk=M.DEF_BLK,
+                                          ce="reshape", pipeline="full"))
+        tp = time_fn(pass_fn, x, v, tab, iters=4, warmup=2)
+    else:
+        pass_fn = jax.jit(lambda k, tb, run=run, buf=buf: M.merge_pass(
+            k, tb, run_len=run, buf_elems=buf, blk=M.DEF_BLK, ce="reshape",
+            pipeline="full"))
+        tp = time_fn(pass_fn, x, tab, iters=4, warmup=2)
     records.append({"stage": f"tables_L{level}", "run_log2":
                     run.bit_length() - 1, "ms": round(tt.ms, 2)})
-    records.append({"stage": f"merge_L{level}", "run_log2":
+    records.append({"stage": f"merge_L{level}", "kv": KV, "run_log2":
                     run.bit_length() - 1, "ms": round(tp.ms, 2),
                     "melems_per_s": round(tp.gelems_per_s(n) * 1e3, 1)})
     log(f"L{level} (run=2^{run.bit_length()-1}): tables {tt.ms:.1f} ms, "
         f"merge {tp.ms:.1f} ms")
-    x = pass_fn(x, tab)
+    if KV:
+        x, v = pass_fn(x, v, tab)
+    else:
+        x = pass_fn(x, tab)
     run *= M.KWAY
     level += 1
 
 ok = bool(np.all(np.asarray(x) == np.sort(np.asarray(keys))))
+if KV:
+    hostk = np.asarray(keys)
+    sv = np.asarray(v)
+    ok = ok and bool((hostk[sv] == np.asarray(x)).all())
 log(f"chain verify: {'OK' if ok else 'FAILED'}")
 total = sum(r["ms"] for r in records)
 print(f"# total staged: {total:.1f} ms over {len(records)} stages "
