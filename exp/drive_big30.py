@@ -99,10 +99,14 @@ def sample_check(kr, rr, s):
     return jnp.all(~inseg | (orig == k))
 
 
-def run_sort():
+def run_sort(range_consumer=None):
+    """With range_consumer, each 4 GB output range is consumed and FREED
+    as it completes — holding both ranges while range 1's pass is live
+    measured RESOURCE_EXHAUSTED on the 16 GB chip (big30_r4.log)."""
     segs = [genseg(s) for s in range(S)]
     return sort_with_ranks_chunked(segs, chunk_log2=19, nranges=2,
-                                   ce="reshape", pipeline="full")
+                                   ce="reshape", pipeline="full",
+                                   range_consumer=range_consumer)
 
 
 MODE = sys.argv[1] if len(sys.argv) > 1 else "verify"
@@ -160,38 +164,46 @@ if MODE == "verify":
         jax.lax.broadcasted_iota(jnp.uint32, (N,), 0)))()
     jax.block_until_ready(hr_in)
     print(f"# input rank hists done [{time.time()-t0:.0f}s]", flush=True)
-    kr, rr = run_sort()
-    print(f"# sort done [{time.time()-t0:.0f}s]; checking", flush=True)
-    ok_sorted = True
-    hk = hr = None
-    last = jnp.uint32(0)
-    for (k, r) in zip(kr, rr):
-        srt, h1, h2, last = range_check(k, r, last)
-        ok_sorted &= bool(srt)
-        hk = h1 if hk is None else hk + h1
-        hr = h2 if hr is None else hr + h2
+
+    # streaming consumer: check each range on-device as it lands, return
+    # only tiny check results, free the 4 GB range buffers immediately
+    state = {"last": jnp.uint32(0)}
+
+    def consume(ri, outs):
+        k, r = outs
+        srt, h1, h2, state["last"] = range_check(k, r, state["last"])
+        samp = [bool(sample_check(k, r, s)) for s in range(S)]
+        print(f"# range {ri} checked [{time.time()-t0:.0f}s]", flush=True)
+        return bool(srt), h1, h2, all(samp)
+
+    results = run_sort(range_consumer=consume)[0]
+    print(f"# sort+check done [{time.time()-t0:.0f}s]", flush=True)
+    ok_sorted = all(r[0] for r in results)
+    hk = sum((r[1] for r in results[1:]), results[0][1])
+    hr = sum((r[2] for r in results[1:]), results[0][2])
+    ok_samp = all(r[3] for r in results)
     ok_mk = bool(jnp.all(hk == hk_in))
     ok_mr = bool(jnp.all(hr == hr_in))
-    ok_samp = True
-    for ri, (k, r) in enumerate(zip(kr, rr)):
-        for s in range(S):
-            ok_samp &= bool(sample_check(k, r, s))
     print(f"VERIFY chunked kv sort n=2^30: sorted={ok_sorted} "
           f"keys_multiset={ok_mk} rank_multiset={ok_mr} "
           f"samples={ok_samp} [{time.time()-t0:.0f}s]", flush=True)
     sys.exit(0 if (ok_sorted and ok_mk and ok_mr and ok_samp) else 1)
 
-# time: first call compiles everything; time the second
-kr, rr = run_sort()
-np.asarray(kr[-1][-128:])
-del kr, rr
+# time: first call compiles everything; time the second. The consumer
+# forces each range then releases it (same memory plan as verify).
+
+
+def force(ri, outs):
+    np.asarray(outs[0][-128:])
+    return None
+
+
+run_sort(range_consumer=force)
 best = float("inf")
 for _ in range(2):
     t1 = time.perf_counter()
-    kr, rr = run_sort()
-    np.asarray(kr[-1][-128:])
+    run_sort(range_consumer=force)
     best = min(best, time.perf_counter() - t1)
-    del kr, rr
 print(f"chunked kv sort 2^30 (incl keygen): {best*1e3:.0f} ms  "
       f"{N/best/1e9:.3f} Gelem/s kv "
       f"(reference keys-only best: 2683 ms, 0.400 G/s)", flush=True)

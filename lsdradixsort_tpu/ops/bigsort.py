@@ -45,9 +45,18 @@ LANES = 128
 
 def _debug(msg: str) -> None:
     """Progress prints for chip-scale runs, gated by LSD_DEBUG=1 (a 2^30
-    sort spans several multi-minute compiles; silence reads as a hang)."""
+    sort spans several multi-minute compiles; silence reads as a hang).
+    Includes live HBM bytes_in_use when the backend reports it — the
+    2^30 plan lives or dies by what is actually still allocated."""
     if os.environ.get("LSD_DEBUG"):
-        print(f"# bigsort {time.strftime('%H:%M:%S')} {msg}",
+        mem = ""
+        try:
+            st = jax.local_devices()[0].memory_stats()
+            if st and "bytes_in_use" in st:
+                mem = f" [hbm {st['bytes_in_use'] / 1e9:.2f} GB]"
+        except Exception:  # noqa: BLE001 — stats are best-effort
+            pass
+        print(f"# bigsort {time.strftime('%H:%M:%S')} {msg}{mem}",
               file=sys.stderr, flush=True)
 
 
@@ -101,13 +110,29 @@ def merge_runs_chunked(run_streams, *, chunk_log2: int = 19,
                        nranges: int = 2, blk: int = M.DEF_BLK,
                        buf_elems: int = M.DEF_BUF, trim: bool = True,
                        ce: str = "reshape", pipeline="full",
-                       interpret: bool | None = None):
+                       interpret: bool | None = None,
+                       range_consumer=None, consume_inputs: bool = False):
     """Merge S sorted runs (each stream a list of S separate equal-length
     device buffers) into `nranges` output ranges, trimming consumed input
     between ranges. run_streams[0] = keys; run_streams[1] = val0 (the
     position-consistent tiebreak, REQUIRED: exact boundaries count ties in
     run order); further streams ride. Returns list over streams of lists
     over ranges.
+
+    range_consumer: optional fn(ri, outs) called as each range completes,
+    with outs = [one array per stream]. When given, the range buffers are
+    RELEASED after the call instead of accumulated (and the fn's return
+    values are collected instead) — at 2^30 the accumulated ranges are
+    4 GB each, and holding range 0 while range 1's pass is live is what
+    pushes the plan past the chip's HBM (measured RESOURCE_EXHAUSTED,
+    2026-08-20); streaming consumption caps the peak at
+    in-runs + ONE range + pass scratch.
+
+    consume_inputs=True additionally CLEARS the passed run_streams lists:
+    the caller's lists otherwise pin every untrimmed run buffer for the
+    whole call, so the between-range trims free NOTHING — at 2^30 that
+    pins 8 GB and range 1 OOMs at ~18 GB live (measured 2026-08-20,
+    big30_r4.log; range 0's 13.4 GB peak fit, range 1's did not).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -134,6 +159,10 @@ def merge_runs_chunked(run_streams, *, chunk_log2: int = 19,
     fb = None
 
     streams = [list(rs) for rs in run_streams]
+    if consume_inputs:
+        for rs in run_streams:
+            rs.clear()
+    del run_streams
     trims = np.zeros(S, np.int32)         # rows already trimmed per run
     rng_ch = nch // nranges
     out = [[] for _ in range(ns)]
@@ -167,8 +196,13 @@ def merge_runs_chunked(run_streams, *, chunk_log2: int = 19,
                           *[r for rs in streams for r in rs])
                 at = (c - c0) * C
                 outs = [patch(o, col, at) for o, col in zip(outs, cols)]
-        for g in range(ns):
-            out[g].append(outs[g])
+        if range_consumer is not None:
+            res = range_consumer(ri, outs)
+            del outs
+            out[0].append(res)
+        else:
+            for g in range(ns):
+                out[g].append(outs[g])
         if trim and ri + 1 < nranges:
             # free each run's consumed prefix (quarter-run granularity);
             # the donated static-slice copy frees the old buffer
@@ -194,7 +228,8 @@ def sort_kv_chunked(key_segs, val_segs=None, *, tile_log2: int = 15,
                     chunk_log2: int = 19, nranges: int = 2,
                     blk: int = M.DEF_BLK, buf_elems: int = M.DEF_BUF,
                     ce: str = "reshape", pipeline="full",
-                    interpret: bool | None = None):
+                    interpret: bool | None = None,
+                    range_consumer=None):
     """Stable kv sort of segment-chunked columns at chip scale.
 
     key_segs: list of S equal-length u32 segments (S in 2..8, each length
@@ -228,10 +263,16 @@ def sort_kv_chunked(key_segs, val_segs=None, *, tile_log2: int = 15,
         runs_k.append(k)
         runs_r.append(vs[0])
     streams = [runs_k, runs_r] + ([runs_v] if has_vals else [])
+    # hand buffer ownership to the merge: local run lists would otherwise
+    # pin all S untrimmed runs (8 GB at 2^30) across the whole call and
+    # defeat the between-range trims
+    del runs_k, runs_r, runs_v
     outs = merge_runs_chunked(streams, chunk_log2=chunk_log2,
                               nranges=nranges, blk=blk,
                               buf_elems=buf_elems, ce=ce,
-                              pipeline=pipeline, interpret=interpret)
+                              pipeline=pipeline, interpret=interpret,
+                              range_consumer=range_consumer,
+                              consume_inputs=True)
     return tuple(outs)
 
 

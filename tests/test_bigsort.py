@@ -130,3 +130,31 @@ def test_exact_tables_chunk_sizes(rng):
     assert (tab[:nch, 19] == (1 << 10) // 128).all()
     # emit region fits the buffer used by the tests
     assert (tab[:nch, 17] + tab[:nch, 19] <= (1 << 13) // 128).all()
+
+
+def test_sort_with_ranks_chunked_streaming_consumer(rng):
+    """range_consumer receives each range as it completes and its results
+    replace the accumulated buffers (the 2^30 memory plan: holding all
+    ranges at once RESOURCE_EXHAUSTED's the chip — ops/bigsort.py)."""
+    S = 8
+    segs = [rng.integers(0, 1000, L, dtype=np.uint32) for _ in range(S)]
+    host = np.concatenate(segs)
+    seen = []
+
+    def consume(ri, outs):
+        assert ri == len(seen)
+        k, r = outs
+        seen.append((np.asarray(k), np.asarray(r)))
+        return int(np.asarray(k)[-1])
+
+    (results,) = sort_with_ranks_chunked(
+        [jnp.asarray(s) for s in segs], tile_log2=TILE_LOG,
+        chunk_log2=10, nranges=2, blk=BLK, buf_elems=1 << 13,
+        range_consumer=consume)[0:1]
+    assert len(seen) == 2 and len(results) == 2
+    got_k = np.concatenate([k for k, _ in seen])
+    got_r = np.concatenate([r for _, r in seen])
+    perm = np.argsort(host, kind="stable")
+    np.testing.assert_array_equal(got_k, host[perm])
+    np.testing.assert_array_equal(got_r, perm.astype(np.uint32))
+    assert results == [int(got_k[len(got_k) // 2 - 1]), int(got_k[-1])]
