@@ -128,6 +128,10 @@ def main() -> int:
     _seed_from_last_good()
     _install_handlers()
 
+    def _mark(what: str) -> None:
+        print(f"# {what} (t={time.monotonic() - T0:.0f}s)", file=sys.stderr,
+              flush=True)
+
     import jax
     import jax.numpy as jnp
     from lsdradixsort_tpu.core.cache import enable_persistent_cache
@@ -135,9 +139,12 @@ def main() -> int:
     from lsdradixsort_tpu.core.timing import time_fn
     from lsdradixsort_tpu.ops.sort import merge_sort_keys, \
         merge_sort_with_ranks
+    _mark("imports done")
 
     n = 1 << 27
     keys = jax.random.bits(jax.random.PRNGKey(0), (n,), dtype=jnp.uint32)
+    keys.block_until_ready()
+    _mark("datagen done")
     want = None
     if verify:
         import numpy as np
@@ -146,6 +153,8 @@ def main() -> int:
     # ---- phase 1: keys-only (the reference's exact workload) ----
     def keys_phase():
         kfn = jax.jit(merge_sort_keys)
+        kfn(keys)  # compile (persistent-cache load) + async dispatch
+        _mark("keys compile/cache-load done")
         if verify:
             import numpy as np
             got = np.asarray(kfn(keys))
@@ -172,6 +181,8 @@ def main() -> int:
     # ---- phase 2: stable kv (north-star config 2), budget permitting ----
     def kv_phase():
         kvfn = jax.jit(merge_sort_with_ranks)
+        kvfn(keys)  # compile (persistent-cache load) + async dispatch
+        _mark("kv compile/cache-load done")
         if verify:
             import numpy as np
             host = np.asarray(keys)

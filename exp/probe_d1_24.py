@@ -34,7 +34,7 @@ STAGE = sys.argv[1] if len(sys.argv) > 1 else "full"
 NLOG = int(sys.argv[2]) if len(sys.argv) > 2 else 24
 n = 1 << NLOG
 mesh = make_mesh(1)
-axis = "data"
+axis = "x"  # = mesh.DATA_AXIS (the r3 draft said "data" and never ran)
 
 
 def stage_fn(k, v):
