@@ -25,4 +25,5 @@ q 5400 query_sweep     python -m lsdradixsort_tpu.bench query --n 24 --sweep --v
 q 2400 hash_table      python exp/probe_hash_table.py
 q 2400 hist_sweep      python -m lsdradixsort_tpu.bench histogram --n 26 --sweep --verify --out reports/histogram_r4
 q 3000 final_bench     env BENCH_DEADLINE_S=2900 python bench.py
+q 700 driver_rehearsal python bench.py
 echo "=== queue2 done $(date)" >> $LOG

@@ -10,7 +10,7 @@ vs 120 at 2^15 (sum of 1..log2(tile)), so the saved merge pass
 (~6 ps * 51 * 2^27 ~= 41 ms) — the experiment prices which side wins
 on real hardware.
 
-Usage: probe_tile_ab.py <tile_log2> [n_log2=27] [kv|keys] [buf_log2=20]
+Usage: probe_tile_ab.py <tile_log2> [n_log2=27] [kv|keys] [buf_log2=20] [blk=2048]
 One config per process (the axon remote-compile helper degrades when one
 process batches several big Pallas compiles, ROADMAP §7c).
 Appends a JSON record to reports/tile_ab.jsonl.
@@ -42,6 +42,7 @@ TL = int(sys.argv[1]) if len(sys.argv) > 1 else 15
 NLOG = int(sys.argv[2]) if len(sys.argv) > 2 else 27
 MODE = sys.argv[3] if len(sys.argv) > 3 else "keys"
 BUF = 1 << int(sys.argv[4]) if len(sys.argv) > 4 else None
+BLK = int(sys.argv[5]) if len(sys.argv) > 5 else None
 n = 1 << NLOG
 t0 = time.time()
 
@@ -49,7 +50,7 @@ keys = jax.random.bits(jax.random.PRNGKey(0), (n,), dtype=jnp.uint32)
 want = np.sort(np.asarray(keys))
 if MODE == "kv":
     fn = jax.jit(lambda k: merge_sort_with_ranks(k, tile_log2=TL,
-                                                 max_buf=BUF))
+                                                 max_buf=BUF, blk=BLK))
     sk, sr = fn(keys)
     sk, sr = np.asarray(sk), np.asarray(sr)
     host = np.asarray(keys)
@@ -58,14 +59,15 @@ if MODE == "kv":
         same = sk[1:] == sk[:-1]
         ok = bool((~same | (sr[1:] > sr[:-1])).all())
 else:
-    fn = jax.jit(lambda k: merge_sort_keys(k, tile_log2=TL, max_buf=BUF))
+    fn = jax.jit(lambda k: merge_sort_keys(k, tile_log2=TL, max_buf=BUF,
+                                           blk=BLK))
     ok = bool((np.asarray(fn(keys)) == want).all())
-print(f"# tile_log2={TL} {MODE} buf={BUF} verify: "
+print(f"# tile_log2={TL} {MODE} buf={BUF} blk={BLK} verify: "
       f"{'OK' if ok else 'FAILED'} [{time.time()-t0:.0f}s]", flush=True)
 assert ok
 t = time_fn(fn, keys, iters=4, warmup=2)
 rec = {"tile_log2": TL, "n_log2": NLOG, "mode": MODE, "buf": BUF,
-       "ms": round(t.ms, 1),
+       "blk": BLK, "ms": round(t.ms, 1),
        "melems_per_s": round(t.gelems_per_s(n) * 1e3, 1),
        "merge_passes": max(0, -(-(NLOG - TL) // 3)), "verified": ok}
 print(json.dumps(rec), flush=True)

@@ -220,6 +220,12 @@ def merge_runs_chunked(run_streams, *, chunk_log2: int = 19,
                               donate_argnums=0)
                 for g in range(ns):
                     streams[g][s] = cut(streams[g][s])
+                    # serialize: an async batch of all 2*S cut copies
+                    # allocates every suffix while every original is
+                    # still live (+~5 GB transient at 2^30 — measured
+                    # RESOURCE_EXHAUSTED in the time phase); blocking
+                    # bounds the transient to ONE cut
+                    jax.block_until_ready(streams[g][s])
                 trims[s] = t_new
     return out
 
