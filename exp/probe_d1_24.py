@@ -27,7 +27,7 @@ import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from lsdradixsort_tpu.parallel import dist_sort as D
+import lsdradixsort_tpu.parallel.dist_sort as D
 from lsdradixsort_tpu.parallel import make_mesh, shard_1d, dist_sort_kv
 
 STAGE = sys.argv[1] if len(sys.argv) > 1 else "full"

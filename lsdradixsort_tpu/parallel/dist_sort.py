@@ -251,8 +251,15 @@ def dist_sort(keys: jax.Array, mesh: Mesh, axis: str = DATA_AXIS,
     d = mesh.shape[axis]
     if n % d:
         raise ValueError(f"n={n} must be divisible by mesh size {d}")
-    ranks = (jnp.arange(1, d, dtype=jnp.uint32) * jnp.uint32(n // d))
     code = keycodec.encode(keys, descending)
+    if d == 1:
+        # degenerate mesh: the whole array is one shard, so the splitter
+        # search / exchange are identities — skip shard_map entirely (its
+        # degenerate-collective program also crashes the axon AOT compile
+        # helper at 2^24, reports/queue2_r4.log 2026-08-20)
+        out = _local_sort_keys(code, _resolve_engine(engine), tile_log2)
+        return keycodec.decode(out, keys.dtype, descending)
+    ranks = (jnp.arange(1, d, dtype=jnp.uint32) * jnp.uint32(n // d))
 
     def shard_fn(k):
         (out,) = _dist_sort_shard(k, (), ranks, axis, n, stable=False,
@@ -282,8 +289,17 @@ def dist_sort_kv(keys: jax.Array, values: jax.Array, mesh: Mesh,
     d = mesh.shape[axis]
     if n % d:
         raise ValueError(f"n={n} must be divisible by mesh size {d}")
-    ranks = (jnp.arange(1, d, dtype=jnp.uint32) * jnp.uint32(n // d))
     code = keycodec.encode(keys, descending)
+    if d == 1:
+        # degenerate mesh: one shard owns everything — same stable
+        # (key, source-rank) order as the sharded path, no collectives
+        # (see dist_sort; the D=1 shard_map program crashes the axon AOT
+        # compile helper)
+        src = jnp.arange(n, dtype=jnp.uint32)
+        ok, _, ov = _local_sort_stable(code, src, (values,),
+                                       _resolve_engine(engine), tile_log2)
+        return keycodec.decode(ok, keys.dtype, descending), ov
+    ranks = (jnp.arange(1, d, dtype=jnp.uint32) * jnp.uint32(n // d))
 
     def shard_fn(k, v):
         return _dist_sort_shard(k, (v,), ranks, axis, n, stable=True,

@@ -123,3 +123,19 @@ def test_dist_sort_kv_merge_engine_stable(rng, mesh):
     order = np.argsort(keys, kind="stable")
     check_arrays(np.asarray(ok), keys[order], "kv merge-engine keys")
     check_arrays(np.asarray(ov), vals[order], "kv merge-engine vals (stable)")
+
+
+def test_dist_sort_d1_degenerate_mesh(rng):
+    """D=1 mesh takes the no-collective fast path (the degenerate
+    shard_map program crashes the axon AOT compile helper on-chip);
+    output must be bit-identical to the D>1 semantics."""
+    m1 = make_mesh(1)
+    n = 1 << 12
+    keys = SKEWS["few_uniques"](rng, n)
+    vals = np.arange(n, dtype=np.uint32)
+    out = dist_sort(jnp.asarray(keys), m1)
+    check_arrays(np.asarray(out), np.sort(keys), "dist_sort d1")
+    ok, ov = dist_sort_kv(jnp.asarray(keys), jnp.asarray(vals), m1)
+    order = np.argsort(keys, kind="stable")
+    check_arrays(np.asarray(ok), keys[order], "dist_sort_kv d1 keys")
+    check_arrays(np.asarray(ov), vals[order], "dist_sort_kv d1 vals")
