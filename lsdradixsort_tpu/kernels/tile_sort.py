@@ -92,7 +92,11 @@ def ce_swap_mask(key, vals, pk, pvs, want_small, ncmp: int):
     lt, eq = lex_lt_eq(key, vals, pk, pvs, ncmp)
     if len(vals) > ncmp - 1:          # riding streams: never swap on ties
         gt = ~lt & ~eq
-        return jnp.where(want_small, lt, gt)
+        # boolean algebra, not jnp.where: a bool-valued select lowers to
+        # an i8 select + i8->i1 trunci, which the chipless Mosaic AOT
+        # compiler rejects ("Unsupported target bitwidth for truncation",
+        # 2026-08-20 — this line was the whole query-suite compile crash)
+        return (want_small & lt) | (~want_small & gt)
     return lt == want_small
 
 
