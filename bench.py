@@ -81,6 +81,24 @@ def _install_handlers() -> None:
     if hasattr(signal, "SIGALRM") and DEADLINE_S > 0:
         signal.signal(signal.SIGALRM, _on_signal)
         signal.alarm(int(DEADLINE_S))
+    # Signal handlers only run at main-thread bytecode boundaries — a
+    # main thread blocked for minutes inside the remote-compile RPC
+    # defers them indefinitely (observed 2026-08-20: SIGALRM+SIGTERM both
+    # pending through a whole kv compile; the round-3 empty capture was
+    # this exact corner). A daemon WATCHDOG THREAD runs as long as the
+    # blocked native call releases the GIL, so the record still lands.
+    if DEADLINE_S > 0:
+        import threading
+
+        def _watchdog():
+            time.sleep(DEADLINE_S + 5)
+            print(f"# bench: watchdog thread at "
+                  f"t={time.monotonic() - T0:.0f}s — emitting",
+                  file=sys.stderr, flush=True)
+            _emit(partial=True)
+            os._exit(0)
+
+        threading.Thread(target=_watchdog, daemon=True).start()
 
 
 def _seed_from_last_good() -> None:
