@@ -53,6 +53,10 @@ T0 = time.monotonic()
 # ---- best-so-far record, emitted exactly once under any termination ----
 BEST: dict = {"metric": "sort_throughput", "value": None,
               "unit": "Melem/s", "vs_baseline": None}
+# per-phase freshness: False until a live measurement lands THIS run.
+# Seeded (replayed) fields are marked stale in the emitted record — a
+# replayed number must never present as a fresh measurement (ADVICE r4).
+FRESH = {"keys": False, "kv": False}
 _EMITTED = False
 
 
@@ -64,6 +68,10 @@ def _emit(partial: bool = False) -> None:
     rec = dict(BEST)
     if partial:
         rec["partial"] = True
+    if rec.get("value") is not None and not FRESH["keys"]:
+        rec["stale"] = True
+    if rec.get("kv_value") is not None and not FRESH["kv"]:
+        rec["kv_stale"] = True
     sys.stdout.write(json.dumps(rec) + "\n")
     sys.stdout.flush()
 
@@ -106,7 +114,8 @@ def _seed_from_last_good() -> None:
         with open(LAST_GOOD) as f:
             rec = json.load(f)
         rec.pop("partial", None)
-        rec["stale"] = True
+        rec.pop("stale", None)
+        rec.pop("kv_stale", None)
         BEST.clear()
         BEST.update(rec)
     except (OSError, ValueError):
@@ -117,7 +126,7 @@ def _persist() -> None:
     try:
         os.makedirs(os.path.dirname(LAST_GOOD), exist_ok=True)
         rec = {k: v for k, v in BEST.items()
-               if k not in ("stale", "partial", "error")}
+               if k not in ("stale", "kv_stale", "partial", "error")}
         with open(LAST_GOOD, "w") as f:
             json.dump(rec, f)
     except OSError:
@@ -186,7 +195,7 @@ def main() -> int:
 
     g = _attempt("keys", keys_phase)
     if g is not None:
-        BEST.pop("stale", None)
+        FRESH["keys"] = True
         BEST.pop("error", None)
         BEST.update(value=round(g * 1e3, 2),
                     vs_baseline=round(g / REFERENCE_GELEMS_PER_S, 3), n=n)
@@ -220,6 +229,7 @@ def main() -> int:
     if _budget_left() > 60:
         gkv = _attempt("kv", kv_phase)
         if gkv is not None:
+            FRESH["kv"] = True
             BEST.pop("error", None)
             BEST.update(kv_value=round(gkv * 1e3, 2),
                         kv_vs_baseline=round(gkv / REFERENCE_GELEMS_PER_S, 3))
@@ -231,7 +241,9 @@ def main() -> int:
               file=sys.stderr)
 
     _emit()
-    return 0 if BEST.get("value") is not None else 1
+    # exit code reflects whether a LIVE measurement landed this run — a
+    # seeded replay alone is a failure for callers checking rc (ADVICE r4)
+    return 0 if FRESH["keys"] else 1
 
 
 if __name__ == "__main__":

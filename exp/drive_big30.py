@@ -191,10 +191,23 @@ if MODE == "verify":
 
 # time: first call compiles everything; time the second. The consumer
 # forces each range then releases it (same memory plan as verify).
+# Run with LSD_DEBUG=1 to get the bigsort-internal phase timeline; the
+# force consumer prints a sub-second timestamp per completed range so the
+# timed total can be attributed (r5: the r4 ROADMAP attributed 6.5 s to
+# the bisection, but the selection measures 323 ms warm at this geometry
+# — reports/probe_fanout_r5.log — so the real split must be measured).
+
+_TMARK = [0.0]
+
+
+def _mark(what):
+    print(f"# time: {what} [{time.perf_counter() - _TMARK[0]:.2f}s]",
+          flush=True)
 
 
 def force(ri, outs):
     np.asarray(outs[0][-128:])
+    _mark(f"range {ri} forced")
     return None
 
 
@@ -202,8 +215,11 @@ run_sort(range_consumer=force)
 best = float("inf")
 for _ in range(2):
     t1 = time.perf_counter()
+    _TMARK[0] = t1
     run_sort(range_consumer=force)
-    best = min(best, time.perf_counter() - t1)
+    dt = time.perf_counter() - t1
+    _mark(f"run_sort total {dt * 1e3:.0f} ms")
+    best = min(best, dt)
 print(f"chunked kv sort 2^30 (incl keygen): {best*1e3:.0f} ms  "
       f"{N/best/1e9:.3f} Gelem/s kv "
       f"(reference keys-only best: 2683 ms, 0.400 G/s)", flush=True)

@@ -26,6 +26,10 @@ CH = 1 << 22
 SALTS = (0x9E3779B1, 0x85EBCA77)
 
 
+CE = "reshape"          # r4 production config (ROADMAP 7c: 808 Melem/s
+PIPE = "full"           # at 2^27 vs 742 for r2's roll/True)
+
+
 def _passes(x, run_from: int, run_to: int):
     run = run_from
     ok_all = jnp.bool_(True)
@@ -33,7 +37,8 @@ def _passes(x, run_from: int, run_to: int):
         buf = M.pass_buf_elems(run)
         tab, ok = M.merge_pass_tables(x, run, buf)
         ok_all = ok_all & ok
-        x = M.merge_pass(x, tab, run_len=run, buf_elems=buf)
+        x = M.merge_pass(x, tab, run_len=run, buf_elems=buf, ce=CE,
+                         pipeline=PIPE)
         run *= M.KWAY
     return x, ok_all
 
@@ -54,7 +59,7 @@ def hists_of(a):
 @jax.jit
 def prog_a(seed):
     keys = jax.random.bits(jax.random.PRNGKey(seed), (N,), dtype=jnp.uint32)
-    x = sort_tiles(keys, tile_rows=TILE // 128)
+    x = sort_tiles(keys, tile_rows=TILE // 128, ce=CE)
     return _passes(x, TILE, SPLIT_RUN)
 
 

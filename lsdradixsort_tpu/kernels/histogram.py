@@ -49,6 +49,19 @@ def _hist_kernel(keys_ref, out_ref, *, r: int, group: int, rows: int,
     cost at r=8; the sign bit is harmless because unpack masks after the
     arithmetic shift). The one-hot loop is Theta(bins/slots) per element
     either way — ROADMAP.md SS5.
+
+    cb=4 unpack is TWO-LEVEL (r5): the per-chunk nibble-packed totals are
+    split once into two byte-packed accumulators (even/odd nibble slots,
+    5 ops per plane per chunk) which absorb up to 15 chunks before the
+    full i32 unpack — the old per-chunk (naccs, slots, LANES) unpack was
+    ~96 ops/elem, half the whole kernel's VPU work (VERDICT r4 #6); the
+    two-level form cuts it to ~2.5 ops/elem amortized. Byte counters
+    stay < 128 (8 elems/chunk x 15 chunks), so the i32 sign bit is never
+    touched. Why not the MXU: an int8 one-hot matmul contracts one
+    element per systolic row (the one-hot matrix is data-dependent and
+    full-rank, so elements cannot share contraction rows without the
+    lane->sublane relayout Mosaic cannot lower) — measured 2.5x SLOWER
+    at 16x16 outputs (exp/probe_hist_mxu.py, round 1; ROADMAP SS5).
     """
     bins = 1 << r
     cb = counter_bits
@@ -66,6 +79,9 @@ def _hist_kernel(keys_ref, out_ref, *, r: int, group: int, rows: int,
     slot_shift = cb * jax.lax.broadcasted_iota(jnp.int32, (1, slots, 1), 1)
     slot_mask = jnp.int32((1 << cb) - 1)
     sbits = cb.bit_length() - 1          # log2(counter_bits)
+    SUPER = 15                           # chunks absorbed per byte-level
+    nib_mask = jnp.int32(0x0F0F0F0F)
+    byte_shift = 8 * jax.lax.broadcasted_iota(jnp.int32, (1, 4, 1), 1)
     for b in range(bpg):
         keys = keys_ref[b]  # (rows, LANES)
         digits = jnp.bitwise_and(jnp.right_shift(keys, shift),
@@ -75,24 +91,51 @@ def _hist_kernel(keys_ref, out_ref, *, r: int, group: int, rows: int,
                              jnp.left_shift(jnp.bitwise_and(digits, slots - 1),
                                             sbits))
         acc_id = jnp.right_shift(digits, 5 - sbits)
-        lane_tot = jnp.zeros((naccs, slots, LANES), jnp.int32)
-        for c in range(n_chunks):
+
+        def chunk_packed(c):
             lo = c * chunk_rows
             hi = min(lo + chunk_rows, rows)
             # slice in 2-D before broadcasting: Mosaic mislowers sublane
             # slices of 3-D broadcasts to shape-mismatched gathers
             aid_c, inc_c = acc_id[lo:hi], inc[lo:hi]
-            # (naccs, chunk_rows, LANES): each element contributes its packed
-            # one-hot counter to exactly one accumulator plane
+            # (naccs, chunk_rows, LANES): each element contributes its
+            # packed one-hot counter to exactly one accumulator plane
             contrib = jnp.where(aid_c[None] == acc_iota, inc_c[None],
                                 jnp.int32(0))
-            packed = jnp.sum(contrib, axis=1)                  # (naccs, LANES)
-            lane_tot = lane_tot + jnp.bitwise_and(
-                jnp.right_shift(packed[:, None, :], slot_shift), slot_mask)
-        # (naccs, slots): row-major flatten (done outside the kernel — in-
-        # kernel sublane->lane relayouts lower poorly) is bin order
-        # slots*a + j
-        out_ref[b] = jnp.sum(lane_tot, axis=2).astype(jnp.uint32)
+            return jnp.sum(contrib, axis=1)                # (naccs, LANES)
+
+        if cb == 8:
+            lane_tot = jnp.zeros((naccs, slots, LANES), jnp.int32)
+            for c in range(n_chunks):
+                packed = chunk_packed(c)
+                lane_tot = lane_tot + jnp.bitwise_and(
+                    jnp.right_shift(packed[:, None, :], slot_shift),
+                    slot_mask)
+            # (naccs, slots): row-major flatten (outside the kernel — in-
+            # kernel sublane->lane relayouts lower poorly) is bin order
+            # slots*a + j
+            out_ref[b] = jnp.sum(lane_tot, axis=2).astype(jnp.uint32)
+        else:
+            # two-level: nibble chunks -> byte accumulators -> i32 planes
+            lt_even = jnp.zeros((naccs, 4, LANES), jnp.int32)
+            lt_odd = jnp.zeros((naccs, 4, LANES), jnp.int32)
+            for sc in range(0, n_chunks, SUPER):
+                beven = jnp.zeros((naccs, LANES), jnp.int32)
+                bodd = jnp.zeros((naccs, LANES), jnp.int32)
+                for c in range(sc, min(sc + SUPER, n_chunks)):
+                    packed = chunk_packed(c)
+                    beven = beven + jnp.bitwise_and(packed, nib_mask)
+                    bodd = bodd + jnp.bitwise_and(
+                        jnp.right_shift(packed, 4), nib_mask)
+                lt_even = lt_even + jnp.bitwise_and(
+                    jnp.right_shift(beven[:, None, :], byte_shift), 0xFF)
+                lt_odd = lt_odd + jnp.bitwise_and(
+                    jnp.right_shift(bodd[:, None, :], byte_shift), 0xFF)
+            # two outputs in byte-slot order; the host interleaves them
+            # back to nibble-slot (bin) order — in-kernel interleave would
+            # need a concatenate Mosaic doesn't lower
+            out_ref[b, 0] = jnp.sum(lt_even, axis=2).astype(jnp.uint32)
+            out_ref[b, 1] = jnp.sum(lt_odd, axis=2).astype(jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=("r", "group", "block_size",
@@ -132,19 +175,37 @@ def block_digit_histograms(keys: jax.Array, r: int, group: int,
     while num_blocks % bpg:
         bpg -= 1
     grid = (num_blocks // bpg,)
+    kern = functools.partial(_hist_kernel, r=r, group=group, rows=rows,
+                             bpg=bpg, counter_bits=counter_bits)
+    in_spec = pl.BlockSpec((bpg, rows, LANES), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    if counter_bits == 8:
+        out = pl.pallas_call(
+            kern,
+            grid=grid,
+            in_specs=[in_spec],
+            out_specs=pl.BlockSpec((bpg, naccs, slots), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((num_blocks, naccs, slots),
+                                           jnp.uint32),
+            interpret=interpret,
+        )(keys.reshape(num_blocks, rows, LANES))
+        return out.reshape(num_blocks, naccs * slots)[:, :bins]
+    # cb=4 two-level kernel emits byte-slot-major (parity, accs, 4);
+    # interleave back to nibble-slot (bin) order on the host side
     out = pl.pallas_call(
-        functools.partial(_hist_kernel, r=r, group=group, rows=rows, bpg=bpg,
-                          counter_bits=counter_bits),
+        kern,
         grid=grid,
-        in_specs=[pl.BlockSpec((bpg, rows, LANES), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((bpg, naccs, slots), lambda i: (i, 0, 0),
+        in_specs=[in_spec],
+        out_specs=pl.BlockSpec((bpg, 2, naccs, 4), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((num_blocks, naccs, slots),
+        out_shape=jax.ShapeDtypeStruct((num_blocks, 2, naccs, 4),
                                        jnp.uint32),
         interpret=interpret,
     )(keys.reshape(num_blocks, rows, LANES))
-    return out.reshape(num_blocks, naccs * slots)[:, :bins]
+    # [b, parity, a, jb] -> bin = 8*a + 2*jb + parity
+    out = jnp.moveaxis(out, 1, 3).reshape(num_blocks, naccs * slots)
+    return out[:, :bins]
 
 
 @functools.partial(jax.jit, static_argnames=("r", "group", "interpret"))

@@ -644,18 +644,36 @@ def merge_pass_multi(keys: jax.Array, vals, tables: jax.Array,
 # Chip-scale chunked pass: runs in separate HBM buffers, exact-rank chunks
 # ---------------------------------------------------------------------------
 
-def merge_tables_exact_runs(run_keys, chunk_elems: int, blk: int = DEF_BLK):
+def merge_tables_exact_runs(run_keys, chunk_elems: int, blk: int = DEF_BLK,
+                            fanout: int | None = None,
+                            rounds: int | None = None):
     """EXACT-rank merge tables for S separately-buffered sorted runs.
 
     Unlike merge_pass_tables (whose chunk boundaries float at sample
     positions, so chunk sizes are data-dependent), every chunk here is
     EXACTLY chunk_elems rows: boundary t sits at global sorted rank
-    t*chunk_elems, found by in-graph k-way selection (32-round binary
-    search on the key value + tie fill in run order). Static chunk sizes
+    t*chunk_elems, found by in-graph k-way selection (value search + tie
+    fill in run order). Static chunk sizes
     are what let the chip-scale sort (ops/bigsort.py) split its final
     pass into independently-allocated output ranges and trim consumed
     run prefixes between them — the memory plan that fits a 2^30-row kv
     sort on one 16 GB chip.
+
+    fanout=None (default) is a 32-round value bisection. An integer
+    fanout >= 3 probes fanout-1 evenly spaced candidates per boundary
+    per round instead (the distributed splitter search's interval
+    shrink, parallel/dist_sort.py:_splitter_keys), collapsing 2^32 in
+    ~log_{fanout-1}(2^32) rounds. MEASURED on-chip at the production
+    2^30 geometry (S=8 x 2^27, 2047 boundaries,
+    reports/probe_fanout_r5.log, r5): bisection 323 ms vs fanout=16
+    1304 ms vs fanout=256 14086 ms — the narrow bisection gathers are
+    dispatch-latency-bound (~46 us/step) while wide probe rounds pay
+    XLA's full ~15 ns/elem gather cost, so MORE probes per round lose
+    on one chip. (On a real multi-host mesh the tradeoff flips: rounds
+    are blocking collectives, which is why dist_sort fans out 256-wide.)
+    The r4 ROADMAP's attribution of 6.5 s to this selection was wrong —
+    see the probe log. rounds overrides the derived exact-collapse
+    round count (tests).
 
     Tie order: boundary ranks count elements by (key, run, in-run pos),
     which matches the merge kernel's (key, val0) order exactly when val0
@@ -682,24 +700,64 @@ def merge_tables_exact_runs(run_keys, chunk_elems: int, blk: int = DEF_BLK):
     blk_rows = blk // LANES
 
     # --- exact boundary ranks by k-way selection -------------------------
+    # find, per boundary, the smallest v with count(key <= v) >= rank+1
     g = jnp.arange(1, nch, dtype=jnp.uint32) * jnp.uint32(C)   # (nch-1,)
+    if fanout is None:
+        def body(_, state):
+            vlo, vhi = state
+            live = vlo < vhi
+            mid = vlo + ((vhi - vlo) >> 1)
+            cnt = jnp.zeros_like(g)
+            for kr in run_keys:
+                cnt = cnt + jnp.searchsorted(kr, mid,
+                                             side="right").astype(jnp.uint32)
+            pred = cnt >= g + 1
+            vhi = jnp.where(live & pred, mid, vhi)
+            vlo = jnp.where(live & ~pred, mid + 1, vlo)
+            return vlo, vhi
 
-    def body(_, state):
-        vlo, vhi = state
-        live = vlo < vhi
-        mid = vlo + ((vhi - vlo) >> 1)
-        cnt = jnp.zeros_like(g)
-        for kr in run_keys:
-            cnt = cnt + jnp.searchsorted(kr, mid,
-                                         side="right").astype(jnp.uint32)
-        pred = cnt >= g + 1
-        vhi = jnp.where(live & pred, mid, vhi)
-        vlo = jnp.where(live & ~pred, mid + 1, vlo)
-        return vlo, vhi
+        nrounds = 32
+    else:
+        F = fanout
+        if F < 3:
+            raise ValueError(f"fanout={F} must be >= 3")
+        if rounds is None:
+            # width recurrence: w' <= w // (F-1) + (F-3); any w <= F-1
+            # collapses to 0 in one round (consecutive unit-step probes)
+            w, rounds = 1 << 32, 0
+            while w > 0:
+                w = w // (F - 1) + (F - 3) if w > F - 1 else 0
+                rounds += 1
+        nrounds = rounds
+        jj = jnp.arange(F - 1, dtype=jnp.uint32)[None, :]
+
+        def body(_, lohi):
+            vlo, vhi = lohi
+            w = vhi - vlo
+            step = jnp.maximum(w // jnp.uint32(F - 1), jnp.uint32(1))
+            # step*(F-2) <= (w//(F-1))*(F-2) < 2^32: no uint32 overflow
+            offs = jnp.minimum(step[:, None] * jj, w[:, None])  # (nb, F-1)
+            probes = vlo[:, None] + offs
+            cnt = jnp.zeros((probes.size,), jnp.uint32)
+            for kr in run_keys:
+                cnt = cnt + jnp.searchsorted(
+                    kr, probes.reshape(-1), side="right").astype(jnp.uint32)
+            geq = cnt.reshape(probes.shape) >= (g + 1)[:, None]  # monotone
+            any_ = jnp.any(geq, axis=1)
+            first = jnp.argmax(geq, axis=1)                     # 0 if none
+            pf = jnp.take_along_axis(probes, first[:, None], 1)[:, 0]
+            pprev = jnp.take_along_axis(
+                probes, jnp.maximum(first - 1, 0)[:, None], 1)[:, 0]
+            new_hi = jnp.where(any_, pf, vhi)
+            # ~any_ implies probes[:,-1] < vhi (count(<=vhi) >= g+1 is
+            # the loop invariant), so the +1 below cannot wrap
+            new_lo = jnp.where(any_, jnp.where(first > 0, pprev + 1, vlo),
+                               probes[:, -1] + 1)
+            return new_lo, new_hi
 
     vstar, _ = jax.lax.fori_loop(
-        0, 32, body, (jnp.zeros_like(g),
-                      jnp.full_like(g, 0xFFFFFFFF)))  # key of rank-g elem
+        0, nrounds, body, (jnp.zeros_like(g),
+                           jnp.full_like(g, 0xFFFFFFFF)))  # key of rank-g elem
     lo = jnp.stack([jnp.searchsorted(kr, vstar, side="left")
                     for kr in run_keys], axis=1).astype(jnp.int32)
     hi = jnp.stack([jnp.searchsorted(kr, vstar, side="right")

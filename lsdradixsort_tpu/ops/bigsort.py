@@ -56,7 +56,9 @@ def _debug(msg: str) -> None:
                 mem = f" [hbm {st['bytes_in_use'] / 1e9:.2f} GB]"
         except Exception:  # noqa: BLE001 — stats are best-effort
             pass
-        print(f"# bigsort {time.strftime('%H:%M:%S')} {msg}{mem}",
+        stamp = (time.strftime("%H:%M:%S")
+                 + f".{int(time.time() * 1000) % 1000:03d}")
+        print(f"# bigsort {stamp} {msg}{mem}",
               file=sys.stderr, flush=True)
 
 
@@ -111,7 +113,8 @@ def merge_runs_chunked(run_streams, *, chunk_log2: int = 19,
                        buf_elems: int = M.DEF_BUF, trim: bool = True,
                        ce: str = "reshape", pipeline="full",
                        interpret: bool | None = None,
-                       range_consumer=None, consume_inputs: bool = False):
+                       range_consumer=None, consume_inputs: bool = False,
+                       fanout: int | None = None):
     """Merge S sorted runs (each stream a list of S separate equal-length
     device buffers) into `nranges` output ranges, trimming consumed input
     between ranges. run_streams[0] = keys; run_streams[1] = val0 (the
@@ -121,8 +124,10 @@ def merge_runs_chunked(run_streams, *, chunk_log2: int = 19,
 
     range_consumer: optional fn(ri, outs) called as each range completes,
     with outs = [one array per stream]. When given, the range buffers are
-    RELEASED after the call instead of accumulated (and the fn's return
-    values are collected instead) — at 2^30 the accumulated ranges are
+    RELEASED after the call instead of accumulated and the return value
+    is [[consumer results]] — ONE list (in out[0]) of the fn's per-range
+    return values; the other streams' lists are empty — at 2^30 the
+    accumulated ranges are
     4 GB each, and holding range 0 while range 1's pass is live is what
     pushes the plan past the chip's HBM (measured RESOURCE_EXHAUSTED,
     2026-08-20); streaming consumption caps the peak at
@@ -149,7 +154,7 @@ def merge_runs_chunked(run_streams, *, chunk_log2: int = 19,
 
     _debug(f"exact-rank tables: S={S} nchunks={nch}")
     tabf = jax.jit(functools.partial(M.merge_tables_exact_runs,
-                                     chunk_elems=C, blk=blk))
+                                     chunk_elems=C, blk=blk, fanout=fanout))
     tab, _ = tabf(run_streams[0])
     tab_host = np.asarray(tab)            # (nch+pad+8, NCOLS), tiny
     _debug("tables on host")
@@ -235,7 +240,7 @@ def sort_kv_chunked(key_segs, val_segs=None, *, tile_log2: int = 15,
                     blk: int = M.DEF_BLK, buf_elems: int = M.DEF_BUF,
                     ce: str = "reshape", pipeline="full",
                     interpret: bool | None = None,
-                    range_consumer=None):
+                    range_consumer=None, fanout: int | None = None):
     """Stable kv sort of segment-chunked columns at chip scale.
 
     key_segs: list of S equal-length u32 segments (S in 2..8, each length
@@ -243,7 +248,11 @@ def sort_kv_chunked(key_segs, val_segs=None, *, tile_log2: int = 15,
     logical column keys = concat(key_segs). val_segs: optional matching
     payload segments. Returns (key_ranges, rank_ranges[, val_ranges]) —
     output as `nranges` range-chunked arrays per stream (concatenating at
-    2^30 would itself blow the memory plan; stream the ranges).
+    2^30 would itself blow the memory plan; stream the ranges). With
+    range_consumer set, the range buffers are released instead of
+    returned and the return value is a 1-tuple: ([consumer results],) —
+    one entry per range, whatever the consumer returned (see
+    merge_runs_chunked).
 
     This is the public 2^30 path: 8 segments of 2^27 u32 keys (+payload)
     sort stably with ~12 GB peak HBM — sorted keys, original positions,
@@ -278,7 +287,7 @@ def sort_kv_chunked(key_segs, val_segs=None, *, tile_log2: int = 15,
                               buf_elems=buf_elems, ce=ce,
                               pipeline=pipeline, interpret=interpret,
                               range_consumer=range_consumer,
-                              consume_inputs=True)
+                              consume_inputs=True, fanout=fanout)
     return tuple(outs)
 
 

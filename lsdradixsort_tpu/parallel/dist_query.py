@@ -122,6 +122,9 @@ def dist_group_by_sum(keys: jax.Array, values: jax.Array, mesh: Mesh,
         raise ValueError(f"n={n} must be divisible by mesh size {d}")
     ranks = jnp.arange(1, d, dtype=jnp.uint32) * jnp.uint32(n // d)
 
+    # check_vma=False: forced by the merge-engine (Pallas) local sorts
+    # inside _dist_sort_shard — pallas_call outputs carry no
+    # varying-mesh-axes info (see dist_sort.py)
     fn = shard_map(
         lambda k, v: _dist_group_by_sum_shard(k, v, ranks, axis, n),
         mesh=mesh, in_specs=(P(axis), P(axis)),
@@ -277,7 +280,10 @@ def dist_filter_kv(keys: jax.Array, values: jax.Array, lo, hi, mesh: Mesh,
         count, fk, fv = filter_kv(k, v, lo, hi)
         return count.reshape(1), fk, fv
 
-    return shard_map(shard_fn, mesh=mesh, check_vma=False, in_specs=(P(axis), P(axis)),
+    # check_vma=False: forced by the Pallas compaction kernel inside
+    # filter_kv (no varying-mesh-axes info on pallas_call outputs)
+    return shard_map(shard_fn, mesh=mesh, check_vma=False,
+                     in_specs=(P(axis), P(axis)),
                      out_specs=(P(axis), P(axis), P(axis)))(keys, values)
 
 
@@ -364,6 +370,8 @@ def dist_join_multi(build_keys: jax.Array, build_vals: jax.Array,
     from lsdradixsort_tpu.parallel.dist_sort import dist_sort_kv
     sbk, sbv = dist_sort_kv(build_keys, build_vals, mesh, axis=axis)
 
+    # check_vma=False: forced by the Pallas kernels inside
+    # hash_join_multi's compaction path (see dist_sort.py)
     fn = shard_map(
         lambda bk, bv, pk, pv: _dist_join_multi_shard(bk, bv, pk, pv, axis,
                                                       d, max_out),

@@ -49,12 +49,27 @@ def _resolve_engine(engine: str) -> str:
 def _local_sort_stable(keys, src, vals, engine: str, tile_log2: int = 15):
     """Stable per-shard sort by (key, src) with riding payload streams.
     src is a unique position-consistent tiebreak (the global source rank),
-    which is exactly the merge engine's val0 contract (ROADMAP §7)."""
-    if engine == "merge":
+    which is exactly the merge engine's val0 contract (ROADMAP §7).
+
+    Payload dtypes: the merge tile kernels move u32 lanes (astype(i32)
+    ^bias round trips), so non-u32 32-bit payloads (f32/i32) are BITCAST
+    to u32 for the ride and bitcast back — lossless, since riding streams
+    are never compared. Payloads with other widths fall back to the XLA
+    path, which handles any dtype (ADVICE r4: astype would silently
+    truncate them)."""
+    vals = tuple(vals)
+    if engine == "merge" and all(v.dtype.itemsize == 4 for v in vals):
         from lsdradixsort_tpu.ops.sort import merge_sort_multi
-        sk, outs = merge_sort_multi(keys, [src, *vals], tile_log2=tile_log2)
-        return (sk, *outs)
-    return jax.lax.sort((keys, src) + tuple(vals), num_keys=2,
+        dts = [v.dtype for v in vals]
+        u32 = [v if v.dtype == jnp.uint32
+               else jax.lax.bitcast_convert_type(v, jnp.uint32)
+               for v in vals]
+        sk, outs = merge_sort_multi(keys, [src, *u32], tile_log2=tile_log2)
+        back = [o if dt == jnp.uint32
+                else jax.lax.bitcast_convert_type(o, dt)
+                for o, dt in zip(outs[1:], dts)]
+        return (sk, outs[0], *back)
+    return jax.lax.sort((keys, src) + vals, num_keys=2,
                         is_stable=False)
 
 
@@ -266,6 +281,9 @@ def dist_sort(keys: jax.Array, mesh: Mesh, axis: str = DATA_AXIS,
                                   engine=engine, tile_log2=tile_log2)
         return out
 
+    # check_vma=False: the merge-engine local sorts (Pallas) inside the
+    # shard body carry no varying-mesh-axes info, which fails shard_map's
+    # static validation; re-enable if/when Pallas propagates vma
     out = shard_map(shard_fn, mesh=mesh, check_vma=False, in_specs=P(axis),
                     out_specs=P(axis))(code)
     return keycodec.decode(out, keys.dtype, descending)
@@ -305,6 +323,9 @@ def dist_sort_kv(keys: jax.Array, values: jax.Array, mesh: Mesh,
         return _dist_sort_shard(k, (v,), ranks, axis, n, stable=True,
                                 engine=engine, tile_log2=tile_log2)
 
-    ok, ov = shard_map(shard_fn, mesh=mesh, check_vma=False, in_specs=(P(axis), P(axis)),
+    # check_vma=False: forced by the Pallas merge-engine local sorts
+    # (no varying-mesh-axes info on pallas_call outputs; see dist_sort)
+    ok, ov = shard_map(shard_fn, mesh=mesh, check_vma=False,
+                       in_specs=(P(axis), P(axis)),
                        out_specs=(P(axis), P(axis)))(code, values)
     return keycodec.decode(ok, keys.dtype, descending), ov

@@ -132,6 +132,73 @@ def test_exact_tables_chunk_sizes(rng):
     assert (tab[:nch, 17] + tab[:nch, 19] <= (1 << 13) // 128).all()
 
 
+@pytest.mark.parametrize("fanout", [None, 3, 16, 256])
+@pytest.mark.parametrize("dist", ["uniform", "allequal", "clustered",
+                                  "tinyrange", "extremes"])
+def test_exact_tables_fanout_selection(rng, fanout, dist):
+    """The multi-probe selection must place every boundary at the exact
+    global rank for any fanout and any key distribution (the tie fill
+    counts equal keys in run order)."""
+    import jax
+    S, Ls, C = 4, 1 << 9, 1 << 8
+    ks = []
+    for s in range(S):
+        if dist == "uniform":
+            k = rng.integers(0, 2**32, Ls, dtype=np.uint32)
+        elif dist == "allequal":
+            k = np.full(Ls, 0xDEADBEEF, np.uint32)
+        elif dist == "clustered":
+            k = (rng.integers(0, 3, Ls) * 0x40000000
+                 + rng.integers(0, 4, Ls)).astype(np.uint32)
+        elif dist == "tinyrange":
+            k = rng.integers(1000, 1010, Ls, dtype=np.uint32)
+        else:  # extremes: 0 and 0xFFFFFFFF only
+            k = np.where(rng.integers(0, 2, Ls) == 0, 0,
+                         0xFFFFFFFF).astype(np.uint32)
+        ks.append(np.sort(k))
+    tab, _mp = jax.jit(functools_partial_tables(C, fanout))(
+        [jnp.asarray(k) for k in ks])
+    tab = np.asarray(tab)
+    nch = S * Ls // C
+    # every chunk emits exactly C contiguous rows
+    assert (tab[:nch, 19] == C // 128).all()
+    assert (tab[:nch, 18] == np.arange(nch) * (C // 128)).all()
+    # DIRECT rank exactness: the table stores each chunk's boundary as
+    # per-run window starts (col s = wstart*blk_rows, so *128 = rank
+    # rounded down to blk) plus the exact in-buffer prefix
+    # pre = emit_row0*128 - m; their sum is the chunk's global start
+    # rank, which the selection must place at exactly t*C
+    pre = tab[:nch, 17] * 128 - tab[:nch, 16]
+    starts = tab[:nch, :S].sum(axis=1) * 128 + pre
+    np.testing.assert_array_equal(starts, np.arange(nch) * C)
+
+
+def functools_partial_tables(C, fanout):
+    def f(rk):
+        return M.merge_tables_exact_runs(rk, chunk_elems=C, blk=BLK,
+                                         fanout=fanout)
+    return f
+
+
+@pytest.mark.parametrize("fanout", [None, 3, 16])
+def test_merge_runs_chunked_fanout_bitexact(rng, fanout):
+    """End-to-end: the chunked merge with every fanout reproduces the
+    stable golden order bit-exactly (duplicate-heavy input so tie fills
+    are exercised)."""
+    S = 4
+    ks, vs = _mk_runs(rng, S, L, maxval=7)
+    outs = merge_runs_chunked(
+        [[jnp.asarray(k) for k in ks], [jnp.asarray(v) for v in vs]],
+        chunk_log2=10, nranges=2, blk=BLK, buf_elems=1 << 13,
+        fanout=fanout)
+    got_k = np.concatenate([np.asarray(r) for r in outs[0]])
+    got_v = np.concatenate([np.asarray(r) for r in outs[1]])
+    allk, allv = np.concatenate(ks), np.concatenate(vs)
+    want = np.lexsort((allv, allk))
+    np.testing.assert_array_equal(got_k, allk[want])
+    np.testing.assert_array_equal(got_v, allv[want])
+
+
 def test_sort_with_ranks_chunked_streaming_consumer(rng):
     """range_consumer receives each range as it completes and its results
     replace the accumulated buffers (the 2^30 memory plan: holding all

@@ -125,6 +125,23 @@ def test_dist_sort_kv_merge_engine_stable(rng, mesh):
     check_arrays(np.asarray(ov), vals[order], "kv merge-engine vals (stable)")
 
 
+def test_dist_sort_kv_merge_engine_f32_payload(rng, mesh):
+    """Non-u32 32-bit payloads must ride the merge engine bit-exactly
+    (bitcast, not astype — ADVICE r4: astype silently truncated floats)."""
+    n = 1 << 13
+    keys = SKEWS["few_uniques"](rng, n)
+    vals = rng.standard_normal(n).astype(np.float32)
+    k = shard_1d(jnp.asarray(keys), mesh)
+    v = shard_1d(jnp.asarray(vals), mesh)
+    ok, ov = dist_sort_kv(k, v, mesh, engine="merge", tile_log2=7)
+    order = np.argsort(keys, kind="stable")
+    check_arrays(np.asarray(ok), keys[order], "kv merge f32 keys")
+    assert np.asarray(ov).dtype == np.float32
+    np.testing.assert_array_equal(
+        np.asarray(ov).view(np.uint32), vals[order].view(np.uint32),
+        "kv merge f32 payload bits")
+
+
 def test_dist_sort_d1_degenerate_mesh(rng):
     """D=1 mesh takes the no-collective fast path (the degenerate
     shard_map program crashes the axon AOT compile helper on-chip);
