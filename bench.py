@@ -177,6 +177,32 @@ def main() -> int:
         import numpy as np
         want = np.sort(np.asarray(keys))
 
+    # Overlap the kv program's compile-cache load / server install with
+    # the whole keys phase: in a fresh process each big jit blocks its
+    # caller for minutes even on a cache hit (measured r5: keys 166 s,
+    # kv longer — reports/bench_warm_r5.log), and serially that blows
+    # the 510 s window before kv can measure (VERDICT r4 #5). The jit
+    # call releases the GIL inside the blocking native call (the
+    # watchdog thread proves this), so a daemon thread warms it in
+    # parallel and the kv phase below finds a hot executable.
+    import threading
+    kvfn = jax.jit(merge_sort_with_ranks)
+    kv_ready = threading.Event()
+
+    def _kv_prewarm():
+        try:
+            import numpy as _np
+            r = kvfn(keys)
+            _np.asarray(r[0][:1])  # force full install + one execution
+            _mark("kv prewarm done")
+        except Exception as e:  # noqa: BLE001 — kv phase will retry/report
+            print(f"# kv prewarm failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+        finally:
+            kv_ready.set()
+
+    threading.Thread(target=_kv_prewarm, daemon=True).start()
+
     # ---- phase 1: keys-only (the reference's exact workload) ----
     def keys_phase():
         kfn = jax.jit(merge_sort_keys)
@@ -207,9 +233,10 @@ def main() -> int:
 
     # ---- phase 2: stable kv (north-star config 2), budget permitting ----
     def kv_phase():
-        kvfn = jax.jit(merge_sort_with_ranks)
-        kvfn(keys)  # compile (persistent-cache load) + async dispatch
-        _mark("kv compile/cache-load done")
+        # wait out the background prewarm (leaving emit headroom); the
+        # executable is then hot and the measurement takes seconds
+        kv_ready.wait(timeout=max(_budget_left() - 45, 0))
+        _mark(f"kv prewarm wait over (ready={kv_ready.is_set()})")
         if verify:
             import numpy as np
             host = np.asarray(keys)

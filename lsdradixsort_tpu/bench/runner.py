@@ -139,7 +139,9 @@ def suite_sort(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
     out.append(_bench("sort/keys_f32", {"n": n, "strategy": "merge"}, ff,
                       (fkeys,), n, bytes_moved=8 * n, verify=vf))
     vals = jnp.arange(n, dtype=jnp.uint32)
-    fkv = jax.jit(lambda k, v: sort_kv(k, v))
+    # explicit strategy="xla": sort_kv's DEFAULT is the merge engine now
+    # (r5, measured 1.18x) — this row keeps the XLA bar on the books
+    fkv = jax.jit(lambda k, v: sort_kv(k, v, strategy="xla"))
     fmr = jax.jit(merge_sort_with_ranks)
     vkv = vmr = None
     if verify:

@@ -247,28 +247,47 @@ def merge_sort_multi(keys: jax.Array, values, tile_log2: int = 15,
 
 @functools.partial(jax.jit, static_argnames=("strategy", "r", "block_size",
                                              "tile_log2", "descending"))
-def sort_kv(keys: jax.Array, values: jax.Array, strategy: str = "xla",
+def sort_kv(keys: jax.Array, values: jax.Array, strategy: str = "merge",
             r: int = 8, block_size: int = 1 << 13, tile_log2: int = 15,
             descending: bool = False):
     """Stable key-value sort (north-star extension; keys u32/i32/f32, any
     payload).
 
-    strategy="merge" runs the framework engine: the row index rides as
+    strategy="merge" (default — measured 1.18x the XLA spelling for the
+    2^27 stable kv sort on v5e, 381 vs 322 Melem/s, BENCHMARKS.md r4)
+    runs the framework engine: the row index rides as
     the (unique, position-consistent) tiebreak stream and every u32
     payload leaf rides uncompared — stable for arbitrary payloads.
-    "xla" is jax.lax.sort with the injected-iota spelling; "composed" the
-    faithful LSD radix scaffold. Signed/float keys and descending order
-    run through the u32 codecs (core/keycodec.py); stability is
-    unaffected (tie groups are invariant under the bijection).
+    "xla" is jax.lax.sort with the injected-iota spelling — pick it when
+    compile latency matters more than throughput (the merge pipeline is
+    a multi-kernel Pallas program; first compile is minutes vs seconds).
+    "composed" is the faithful LSD radix scaffold. Signed/float keys and
+    descending order run through the u32 codecs (core/keycodec.py);
+    stability is unaffected (tie groups are invariant under the
+    bijection).
     """
     code = keycodec.encode(keys, descending)
     if strategy == "merge":
-        n = keys.shape[0]
         flat_vals, treedef = jax.tree.flatten(values)
+        if any(v.dtype.itemsize != 4 for v in flat_vals):
+            # the merge engine moves u32 lanes; non-32-bit payloads take
+            # the XLA path (any dtype) rather than a lossy cast
+            strategy = "xla"
+    if strategy == "merge":
+        n = keys.shape[0]
         iota = jax.lax.broadcasted_iota(jnp.uint32, (n,), 0)
-        sk, outs = merge_sort_multi(code, [iota, *flat_vals],
+        # 32-bit payloads ride BITCAST to u32 (lossless — riding streams
+        # are never compared; astype would corrupt f32/i32 values)
+        dts = [v.dtype for v in flat_vals]
+        u32 = [v if v.dtype == jnp.uint32
+               else jax.lax.bitcast_convert_type(v, jnp.uint32)
+               for v in flat_vals]
+        sk, outs = merge_sort_multi(code, [iota, *u32],
                                     tile_log2=tile_log2)
-        sv = jax.tree.unflatten(treedef, outs[1:])
+        back = [o if dt == jnp.uint32
+                else jax.lax.bitcast_convert_type(o, dt)
+                for o, dt in zip(outs[1:], dts)]
+        sv = jax.tree.unflatten(treedef, back)
     elif strategy == "xla":
         sk, sv = _stable_sort_kv_xla(code, values)
     elif strategy == "composed":

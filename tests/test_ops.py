@@ -238,6 +238,36 @@ def test_sort_kv_merge_strategy(rng):
     check_arrays(gv, wv, "kv vals merge (stability)")
 
 
+def test_sort_kv_merge_f32_payload(rng):
+    # 32-bit non-u32 payloads ride the merge engine BITCAST (lossless);
+    # astype would corrupt float bits (ADVICE r4)
+    n = 10_000
+    keys = rng.integers(0, 64, n, dtype=np.uint32)
+    vals = rng.standard_normal(n).astype(np.float32)
+    gk, gv = ops.sort_kv(jnp.asarray(keys), jnp.asarray(vals),
+                         strategy="merge", tile_log2=11)
+    perm = np.argsort(keys, kind="stable")
+    check_arrays(gk, keys[perm], "kv keys merge f32")
+    assert np.asarray(gv).dtype == np.float32
+    np.testing.assert_array_equal(np.asarray(gv).view(np.uint32),
+                                  vals[perm].view(np.uint32))
+
+
+def test_sort_kv_merge_u16_payload_falls_back(rng):
+    # non-32-bit payloads take the XLA path silently (exact for any
+    # dtype; 64-bit leaves can't occur here — jax x64 is off, so they
+    # downcast at asarray time before reaching sort_kv)
+    n = 8_192
+    keys = rng.integers(0, 64, n, dtype=np.uint32)
+    vals = rng.integers(0, 2**16, n, dtype=np.uint16)
+    gk, gv = ops.sort_kv(jnp.asarray(keys), jnp.asarray(vals),
+                         strategy="merge", tile_log2=11)
+    perm = np.argsort(keys, kind="stable")
+    check_arrays(gk, keys[perm], "kv keys u16 fallback")
+    assert np.asarray(gv).dtype == np.uint16
+    np.testing.assert_array_equal(np.asarray(gv), vals[perm])
+
+
 @pytest.mark.parametrize("engine", ["xla", "merge"])
 def test_hash_join_multi(rng, engine):
     # many-to-many: ~6 build rows per key, every probe key may repeat
