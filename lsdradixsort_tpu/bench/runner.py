@@ -160,6 +160,29 @@ def suite_sort(n_log2: int, verify: bool, sweep: bool) -> list[Record]:
     out.append(_bench("sort/kv_merge", {"n": n}, fmr, (keys,), n,
                       bytes_moved=16 * n, verify=vmr))
     if sweep:
+        # tile/buffer geometry A/B (stage-count model, ROADMAP 7g/8):
+        # buf 2^19 cuts the merge cascade 57 -> 54 stages per pass,
+        # tile 2^18 trades 120 tile stages + 4 passes for 171 + 3
+        from lsdradixsort_tpu.ops.sort import merge_sort_keys
+        for tl, bl in ((15, 19), (18, 20), (18, 19)):
+            fg = jax.jit(lambda k, t=tl, b=bl: merge_sort_keys(
+                k, tile_log2=t, max_buf=1 << b))
+            fgkv = jax.jit(lambda k, t=tl, b=bl: merge_sort_with_ranks(
+                k, tile_log2=t, max_buf=1 << b))
+            vg = vgkv = None
+            if verify:
+                keys_np = np.asarray(keys)
+                perm = np.argsort(keys_np, kind="stable")
+                vg = lambda f=fg, keys_np=keys_np: check_arrays(
+                    f(keys), np.sort(keys_np))
+                def vgkv(f=fgkv, keys_np=keys_np, perm=perm):
+                    sk, sv = f(keys)
+                    check_arrays(sk, keys_np[perm])
+                    check_arrays(sv, perm.astype(np.uint32))
+            out.append(_bench(f"sort/keys_t{tl}_b{bl}", {"n": n}, fg,
+                              (keys,), n, bytes_moved=8 * n, verify=vg))
+            out.append(_bench(f"sort/kv_t{tl}_b{bl}", {"n": n}, fgkv,
+                              (keys,), n, bytes_moved=16 * n, verify=vgkv))
         # 64-bit keys: single-chain (hi, lo, pos) ncmp=3 engine vs the
         # two-pass LSD spelling vs XLA (ROADMAP §8 decision record)
         from lsdradixsort_tpu.ops.sort import sort64_with_ranks
