@@ -99,11 +99,18 @@ def sample_check(kr, rr, s):
     return jnp.all(~inseg | (orig == k))
 
 
-def run_sort(range_consumer=None):
+def run_sort(range_consumer=None, segs=None):
     """With range_consumer, each 4 GB output range is consumed and FREED
     as it completes — holding both ranges while range 1's pass is live
-    measured RESOURCE_EXHAUSTED on the 16 GB chip (big30_r4.log)."""
-    segs = [genseg(s) for s in range(S)]
+    measured RESOURCE_EXHAUSTED on the 16 GB chip (big30_r4.log).
+
+    segs: pre-built (forced) segments — the timed mode builds them
+    OUTSIDE the timing window, matching the reference's discipline of
+    timing the sort but not the data staging (events bracket kernels,
+    H2D outside — LSDRadixSort.cu:998-1009). Segments are consumed
+    (donated), so each timed iteration needs a fresh set."""
+    if segs is None:
+        segs = [genseg(s) for s in range(S)]
     return sort_with_ranks_chunked(segs, chunk_log2=19, nranges=2,
                                    ce="reshape", pipeline="full",
                                    range_consumer=range_consumer)
@@ -214,12 +221,15 @@ def force(ri, outs):
 run_sort(range_consumer=force)
 best = float("inf")
 for _ in range(2):
+    segs = [genseg(s) for s in range(S)]
+    for s_ in segs:
+        np.asarray(s_[:1])           # force: keygen outside the timing
     t1 = time.perf_counter()
     _TMARK[0] = t1
-    run_sort(range_consumer=force)
+    run_sort(range_consumer=force, segs=segs)
     dt = time.perf_counter() - t1
     _mark(f"run_sort total {dt * 1e3:.0f} ms")
     best = min(best, dt)
-print(f"chunked kv sort 2^30 (incl keygen): {best*1e3:.0f} ms  "
+print(f"chunked kv sort 2^30: {best*1e3:.0f} ms  "
       f"{N/best/1e9:.3f} Gelem/s kv "
       f"(reference keys-only best: 2683 ms, 0.400 G/s)", flush=True)
